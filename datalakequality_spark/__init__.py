@@ -1,0 +1,28 @@
+"""datalakequality_spark — PySpark-native table-maintenance + data-quality engine.
+
+A from-scratch re-expression of the capabilities of
+``shobith-s/DataLakeQuality`` (reference snapshot at /root/reference) on
+Apache Spark, extended with the table-maintenance layer required for
+Iceberg-style tables of pre-tokenized training sequences at 10^12-row
+scale:
+
+- ``operators/``   — quality kernels (profiling, contracts, PII, outliers,
+  drift/PSI, schema-change, scoring, autofix) plus training-data-pipeline
+  operators (dedup, similarity search, text analysis, multimodal plumbing).
+- ``sources/``     — the "IceMini" table format (Parquet data files + JSON
+  manifests/snapshots + atomic version pointer), deterministic synthetic
+  sequence generation, and cross-run state (contracts/baselines/history).
+- ``maintenance/`` — bin-packing compaction, Z-order/Hilbert clustering,
+  MERGE INTO (copy-on-write), snapshot expiration with reachability GC,
+  per-partition lineage log + resume.
+- ``plans/``       — orchestration (quality-gate pipeline mirroring the
+  reference's run order, maintenance job planner).
+- ``functions/``   — reusable column expressions (z-order keys, hashes,
+  text metrics) and report narration.
+- ``streaming/``   — Structured Streaming ingest into IceMini tables.
+
+Everything is DataFrame/SQL-first: Catalyst owns the physical plan, Python
+touches data only through Arrow-vectorized pandas UDFs.
+"""
+
+__version__ = "0.1.0"

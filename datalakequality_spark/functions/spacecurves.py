@@ -1,0 +1,122 @@
+"""Z-order (Morton) and Hilbert clustering keys — SURVEY.md §4.2.
+
+OSS Spark SQL has no space-filling-curve expression, so the keys are
+computed in ONE Arrow-vectorized pandas UDF over pure numpy uint64 bit
+ops (no per-row Python, per BASELINE.json input_hint). Inputs are
+prepared JVM-side (xxhash64 of source/doc_id, n_tok scaling), so the
+UDF sees only three integer Series per Arrow batch.
+
+Dimension encoding for the (source, n_tok, doc_id) clustering required
+by the north_star, 16 bits per dimension:
+- source  → xxhash64 → low 16 bits (distinct sources land in distinct
+  bucket prefixes with high probability)
+- n_tok   → scaled to [0, 65535] over the [0, clip] token-length range,
+  preserving order so n_tok range-pruning works after clustering
+- doc_id  → xxhash64 → low 16 bits (intra-(source,n_tok) spread)
+
+The Hilbert index uses Skilling's transpose algorithm (public domain,
+"Programming the Hilbert curve", AIP Conf. Proc. 707), vectorized: the
+bit loop is O(bits) numpy passes over the whole Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BITS = 16
+_ONE = np.uint64(1)
+
+
+def _part1by2(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 21 bits of x two apart (Morton helper)."""
+    x = x.astype(np.uint64) & np.uint64(0x1FFFFF)
+    x = (x | (x << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return x
+
+
+def morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """48-bit 3-D Morton (Z-order) key; x is the most significant dim."""
+    return (_part1by2(x) << np.uint64(2)) | (_part1by2(y) << np.uint64(1)) | _part1by2(z)
+
+
+def _axes_to_transpose(X: np.ndarray, bits: int = BITS) -> np.ndarray:
+    """Skilling AxestoTranspose, vectorized over rows. X: (n, 3) uint64."""
+    n_dims = X.shape[1]
+    M = _ONE << np.uint64(bits - 1)
+    Q = M
+    while Q > _ONE:
+        P = Q - _ONE
+        for i in range(n_dims):
+            mask = (X[:, i] & Q) != 0
+            X[mask, 0] ^= P
+            nm = ~mask
+            t = (X[nm, 0] ^ X[nm, i]) & P
+            X[nm, 0] ^= t
+            X[nm, i] ^= t
+        Q >>= _ONE
+    for i in range(1, n_dims):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint64)
+    Q = M
+    while Q > _ONE:
+        mask = (X[:, n_dims - 1] & Q) != 0
+        t[mask] ^= Q - _ONE
+        Q >>= _ONE
+    for i in range(n_dims):
+        X[:, i] ^= t
+    return X
+
+
+def hilbert3(x: np.ndarray, y: np.ndarray, z: np.ndarray, bits: int = BITS) -> np.ndarray:
+    """48-bit 3-D Hilbert index (better locality than Morton at the
+    cost of ~3x the bit ops — still fully vectorized)."""
+    X = np.stack(
+        [
+            x.astype(np.uint64) & np.uint64((1 << bits) - 1),
+            y.astype(np.uint64) & np.uint64((1 << bits) - 1),
+            z.astype(np.uint64) & np.uint64((1 << bits) - 1),
+        ],
+        axis=1,
+    )
+    X = _axes_to_transpose(X, bits)
+    # transpose form → single index: interleave bit b of each axis
+    return morton3(X[:, 0], X[:, 1], X[:, 2])
+
+
+def _mask16(s: pd.Series) -> np.ndarray:
+    return (s.to_numpy(dtype=np.int64).view(np.uint64)) & np.uint64(0xFFFF)
+
+
+@F.pandas_udf(T.LongType())
+def _zorder_key_udf(src_h: pd.Series, ntok16: pd.Series, doc_h: pd.Series) -> pd.Series:
+    k = morton3(_mask16(src_h), _mask16(ntok16), _mask16(doc_h))
+    return pd.Series(k.astype(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def _hilbert_key_udf(src_h: pd.Series, ntok16: pd.Series, doc_h: pd.Series) -> pd.Series:
+    k = hilbert3(_mask16(src_h), _mask16(ntok16), _mask16(doc_h))
+    return pd.Series(k.astype(np.int64))
+
+
+def with_cluster_key(
+    df: DataFrame,
+    method: str = "zorder",
+    key_col: str = "__cluster_key",
+    n_tok_clip: int = 8192,
+) -> DataFrame:
+    """Add the clustering key column. JVM prepares the three int dims;
+    one pandas UDF interleaves them."""
+    src_h = F.xxhash64("source")
+    ntok16 = F.least(F.col("n_tok").cast("long"), F.lit(n_tok_clip)) * 65535 / n_tok_clip
+    doc_h = F.xxhash64("doc_id")
+    udf = {"zorder": _zorder_key_udf, "hilbert": _hilbert_key_udf}[method]
+    return df.withColumn(key_col, udf(src_h, ntok16.cast("long"), doc_h))

@@ -1,0 +1,169 @@
+"""Bin-packing compaction of small Parquet files (north_star M4).
+
+Planning is manifest-level (driver, O(#files) — the same cost class as
+Iceberg's RewriteDataFiles planning): files smaller than
+``small_file_bytes`` are packed first-fit-decreasing into bins of
+``target_bytes``; files already ≥ the threshold are left untouched, so a
+steady-state table converges and compaction is incremental.
+
+Execution is ONE Spark job per batch of bins: the file→bin assignment is
+broadcast and joined on ``input_file_name()`` (no shuffle for the map
+side), then a single hash repartition on ``bin_id`` + ``partitionBy``
+write produces exactly one output file per bin. Batches (≤
+``bins_per_batch`` bins) are the resumability unit: each batch is its
+own snapshot commit + lineage record, so a killed job restarts from the
+last committed batch (see maintenance/lineage.py).
+
+Quality gates can run inside each batch pass (plans/quality_gate.py):
+per-input-file metrics come from the same frame already materialized,
+and failing files are quarantined out of the commit.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import functions as F
+
+from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
+from .lineage import JobLog
+
+
+def plan_bins(
+    entries: list[FileEntry],
+    target_bytes: int,
+    small_file_bytes: int | None = None,
+) -> list[list[FileEntry]]:
+    """First-fit-decreasing packing of small files into ~target_bytes
+    bins. Returns only bins worth rewriting (≥2 files, or 1 undersized
+    file that fits nothing else)."""
+    small_file_bytes = small_file_bytes or int(target_bytes * 0.75)
+    small = sorted(
+        (e for e in entries if e.size_bytes < small_file_bytes),
+        key=lambda e: e.size_bytes,
+        reverse=True,
+    )
+    bins: list[tuple[int, list[FileEntry]]] = []
+    for e in small:
+        for i, (used, members) in enumerate(bins):
+            if used + e.size_bytes <= target_bytes:
+                bins[i] = (used + e.size_bytes, members + [e])
+                break
+        else:
+            bins.append((e.size_bytes, [e]))
+    return [members for _, members in bins if len(members) >= 2]
+
+
+def _strip_uri(p: str) -> str:
+    return p[7:] if p.startswith("file://") else (p[5:] if p.startswith("file:") else p)
+
+
+def rewrite_bins(
+    table: IceMiniTable,
+    bins: list[list[FileEntry]],
+) -> list[FileEntry]:
+    """Rewrite each bin to exactly one file, all bins in ONE Spark job.
+
+    Every row of bin b is tagged via a broadcast file→bin join, hashed to
+    a partition on bin_id, and ``partitionBy("__bin")`` splits any
+    co-hashed bins back into separate files at write time — so the
+    one-file-per-bin invariant holds regardless of hash collisions.
+    """
+    spark = table.spark
+    mapping = [
+        (os.path.join(table.root, e.path), b) for b, members in enumerate(bins) for e in members
+    ]
+    paths = [p for p, _ in mapping]
+    map_df = spark.createDataFrame(mapping, "____file string, __bin int")
+    df = (
+        spark.read.schema(SEQUENCES_SCHEMA)
+        .parquet(*paths)
+        .withColumn("____file", F.expr("replace(replace(input_file_name(), 'file://', ''), 'file:', '')"))
+        .join(F.broadcast(map_df), "____file")
+        .drop("____file")
+    )
+    prefix = uuid.uuid4().hex
+    stage = os.path.join(table.data_dir, f".stage-{prefix}")
+    (
+        df.repartition(len(bins), "__bin")
+        .write.mode("overwrite")
+        .partitionBy("__bin")
+        .parquet(stage)
+    )
+    finals = []
+    import glob as _glob
+
+    for bin_dir in sorted(_glob.glob(os.path.join(stage, "__bin=*"))):
+        b = int(bin_dir.rsplit("=", 1)[1])
+        parts = sorted(_glob.glob(os.path.join(bin_dir, "part-*.parquet")))
+        for j, p in enumerate(parts):
+            final = os.path.join(table.data_dir, f"{prefix}-{b:05d}-{j}.parquet")
+            os.rename(p, final)
+            finals.append(final)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return table.compute_file_stats(finals)
+
+
+def compact_table(
+    table: IceMiniTable,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    bins_per_batch: int = 64,
+    job_id: str | None = None,
+) -> dict[str, Any]:
+    """Plan + execute + commit compaction, resumable via the job log."""
+    job_id = job_id or f"compact-{uuid.uuid4().hex[:12]}"
+    log = JobLog(table.root, job_id)
+
+    tasks = log.load_plan()
+    if tasks is None:
+        bins = plan_bins(table.live_entries(), target_bytes, small_file_bytes)
+        tasks = []
+        for i in range(0, len(bins), bins_per_batch):
+            batch = bins[i : i + bins_per_batch]
+            tasks.append(
+                {
+                    "task_id": f"batch-{i // bins_per_batch:05d}",
+                    "bins": [[e.to_dict() for e in b] for b in batch],
+                }
+            )
+        log.write_plan(tasks)
+
+    result = {"job_id": job_id, "batches": 0, "skipped": 0, "rewritten_files": 0, "new_files": 0}
+    for task in tasks:
+        tid = task["task_id"]
+        bins = [[FileEntry.from_dict(d) for d in b] for b in task["bins"]]
+        inputs = [e.path for b in bins for e in b]
+        if log.is_done(tid):
+            result["skipped"] += 1
+            continue
+        intent = log.intent(tid)
+        if intent is not None and not (set(inputs) & table.live_paths()):
+            # crashed between commit and ack — the commit landed
+            log.mark_done(tid, intent)
+            result["skipped"] += 1
+            continue
+        new_entries = rewrite_bins(table, bins)
+        record = {
+            "task_id": tid,
+            "input_files": inputs,
+            "output_files": [e.path for e in new_entries],
+            "rows": sum(e.rows for e in new_entries),
+            "tokens": sum(e.token_count for e in new_entries),
+        }
+        log.mark_intent(tid, record)
+        table.commit(
+            "compact",
+            added=new_entries,
+            removed_paths=inputs,
+            required_paths=inputs,
+        )
+        log.mark_done(tid, record)
+        result["batches"] += 1
+        result["rewritten_files"] += len(inputs)
+        result["new_files"] += len(new_entries)
+    return result

@@ -1,0 +1,80 @@
+"""Per-partition lineage log → resumable maintenance jobs (north_rule).
+
+Every maintenance job (compact / cluster / merge) is planned into tasks;
+each task records, in ``<table>/metadata/jobs/<job_id>/``:
+
+    plan.json            — the full task list, pinned at planning time
+    intent-<task>.json   — written BEFORE the task's snapshot commit
+                           (output files + counts)
+    done-<task>.json     — written AFTER the commit succeeds
+
+Resume logic (generalizing the reference's append-only run history,
+/root/reference/backend/app/utils/history.py:115-128):
+- ``done`` → skip (commit applied).
+- ``intent`` but no ``done`` → the process died between commit and
+  acknowledgment; if the task's input files are no longer live the
+  commit DID land → mark done and skip; otherwise re-run (the staged
+  output files are orphans, swept later by reachability GC).
+- neither → run.
+
+This makes every task idempotent: re-running a job with the same job_id
+never processes a partition twice (tested in tests/test_maintenance.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+
+class JobLog:
+    def __init__(self, table_root: str, job_id: str):
+        self.dir = os.path.join(table_root, "metadata", "jobs", job_id)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def _write_json(self, name: str, payload: dict[str, Any]) -> None:
+        tmp = self._path(f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, self._path(name))
+
+    # ------------------------------------------------------------------ plan
+
+    def write_plan(self, tasks: list[dict[str, Any]]) -> None:
+        if not os.path.exists(self._path("plan.json")):
+            self._write_json("plan.json", {"tasks": tasks})
+
+    def load_plan(self) -> list[dict[str, Any]] | None:
+        try:
+            return json.load(open(self._path("plan.json")))["tasks"]
+        except OSError:
+            return None
+
+    # ----------------------------------------------------------------- tasks
+
+    def mark_intent(self, task_id: str, record: dict[str, Any]) -> None:
+        self._write_json(f"intent-{task_id}.json", record)
+
+    def intent(self, task_id: str) -> dict[str, Any] | None:
+        try:
+            return json.load(open(self._path(f"intent-{task_id}.json")))
+        except OSError:
+            return None
+
+    def mark_done(self, task_id: str, record: dict[str, Any]) -> None:
+        self._write_json(f"done-{task_id}.json", record)
+
+    def is_done(self, task_id: str) -> bool:
+        return os.path.exists(self._path(f"done-{task_id}.json"))
+
+    def done_records(self) -> dict[str, dict[str, Any]]:
+        out = {}
+        for p in glob.glob(self._path("done-*.json")):
+            tid = os.path.basename(p)[len("done-") : -len(".json")]
+            out[tid] = json.load(open(p))
+        return out

@@ -1,0 +1,460 @@
+"""IceMini — an Iceberg-style table format implemented natively.
+
+No Iceberg/Delta jar ships in this environment (SURVEY.md §1.2), so the
+engine owns the table format: immutable Parquet data files + immutable
+JSON manifest files + per-commit snapshot JSON + a version-hint pointer,
+with optimistic-concurrency commits. The layout mirrors Iceberg's
+HadoopCatalog semantics on purpose, so a real catalog could be swapped
+in later:
+
+    <root>/
+      data/       <uuid>-<n>.parquet            (immutable)
+      metadata/
+        manifest-<uuid>.json                     (immutable file lists + stats)
+        v<N>.metadata.json                       (snapshot; N strictly increasing)
+        version-hint.text                        (readers' fast path)
+        jobs/<job_id>/...                        (maintenance lineage, see
+                                                  maintenance/lineage.py)
+
+Commit protocol (single filesystem, Iceberg HadoopTableOperations-style):
+a writer resolves the current version N, prepares manifests, then claims
+version N+1 by creating ``v<N+1>.metadata.json`` with O_CREAT|O_EXCL —
+the filesystem arbitrates concurrent committers. A loser re-reads the
+winner's snapshot and *validates*: if any data file it read (its
+``required_files``) is no longer live, the commit raises
+``CommitConflict`` (matching Iceberg's validation semantics for
+conflicting rewrites); otherwise it retries on top. ``version-hint.text``
+is advisory (crash between snapshot write and hint update is harmless —
+readers take ``max(vN present)``).
+
+Scale notes: all metadata ops are O(#files) driver-side, the same cost
+class as Iceberg's own planning. Data ops are single Spark jobs; per-file
+stats are computed distributed via one ``groupBy(input_file_name())``
+aggregation, never by reading files on the driver.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+import uuid
+from dataclasses import asdict, dataclass, field
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SEQUENCES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+
+class CommitConflict(Exception):
+    """A concurrent commit invalidated this writer's input files."""
+
+
+@dataclass
+class FileEntry:
+    """One data file tracked in a manifest, with pruning stats."""
+
+    path: str  # relative to table root
+    rows: int
+    token_count: int
+    size_bytes: int
+    min_n_tok: int | None = None
+    max_n_tok: int | None = None
+    min_source: str | None = None
+    max_source: str | None = None
+    min_doc_id: str | None = None
+    max_doc_id: str | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "FileEntry":
+        return FileEntry(**d)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_snapshot_id: int | None
+    operation: str
+    manifests: list[str]
+    summary: dict[str, Any] = field(default_factory=dict)
+    quarantine: list[dict[str, Any]] = field(default_factory=list)
+    timestamp_ms: int = 0
+
+
+_VMETA_RE = re.compile(r"v(\d+)\.metadata\.json$")
+
+
+class IceMiniTable:
+    """Handle on one IceMini table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.data_dir = os.path.join(self.root, "data")
+        self.meta_dir = os.path.join(self.root, "metadata")
+
+    # ------------------------------------------------------------------ setup
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "IceMiniTable":
+        t = cls(spark, root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        if t.current_version() == 0:
+            snap = Snapshot(
+                snapshot_id=1,
+                parent_snapshot_id=None,
+                operation="create",
+                manifests=[],
+                summary={"total_rows": 0, "total_tokens": 0, "total_files": 0},
+                timestamp_ms=int(time.time() * 1000),
+            )
+            t._try_claim_version(1, snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "IceMiniTable":
+        t = cls(spark, root)
+        if t.current_version() == 0:
+            raise FileNotFoundError(f"no IceMini table at {root}")
+        return t
+
+    # ------------------------------------------------------------- metadata IO
+
+    def current_version(self) -> int:
+        """Max committed version. version-hint.text is a fast path only."""
+        hint_path = os.path.join(self.meta_dir, "version-hint.text")
+        best = 0
+        try:
+            best = int(open(hint_path).read().strip())
+        except (OSError, ValueError):
+            best = 0
+        # hint may lag (crash between snapshot write and hint update): scan up.
+        v = best + 1
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v}.metadata.json")):
+            best = v
+            v += 1
+        if best == 0:
+            versions = [
+                int(m.group(1))
+                for p in glob.glob(os.path.join(self.meta_dir, "v*.metadata.json"))
+                if (m := _VMETA_RE.search(p))
+            ]
+            best = max(versions, default=0)
+        return best
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version if version is not None else self.current_version()
+        path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        d = json.load(open(path))
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            parent_snapshot_id=d.get("parent_snapshot_id"),
+            operation=d["operation"],
+            manifests=d["manifests"],
+            summary=d.get("summary", {}),
+            quarantine=d.get("quarantine", []),
+            timestamp_ms=d.get("timestamp_ms", 0),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for v in range(1, self.current_version() + 1):
+            if os.path.exists(os.path.join(self.meta_dir, f"v{v}.metadata.json")):
+                out.append(self.snapshot(v))
+        return out
+
+    def _read_manifest(self, name: str) -> list[FileEntry]:
+        d = json.load(open(os.path.join(self.meta_dir, name)))
+        return [FileEntry.from_dict(e) for e in d["entries"]]
+
+    def _write_manifest(self, entries: list[FileEntry]) -> str:
+        name = f"manifest-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(self.meta_dir, f".tmp-{name}")
+        with open(tmp, "w") as f:
+            json.dump({"entries": [e.to_dict() for e in entries]}, f)
+        os.rename(tmp, os.path.join(self.meta_dir, name))
+        return name
+
+    def live_entries(self, version: int | None = None) -> list[FileEntry]:
+        snap = self.snapshot(version)
+        out: list[FileEntry] = []
+        for m in snap.manifests:
+            out.extend(self._read_manifest(m))
+        return out
+
+    def live_paths(self, version: int | None = None) -> set[str]:
+        return {e.path for e in self.live_entries(version)}
+
+    # ---------------------------------------------------------------- commits
+
+    def _try_claim_version(self, version: int, snap: Snapshot) -> bool:
+        """Atomically claim v<version> via O_CREAT|O_EXCL. True if won."""
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        payload = {
+            "format_version": 1,
+            "snapshot_id": snap.snapshot_id,
+            "parent_snapshot_id": snap.parent_snapshot_id,
+            "operation": snap.operation,
+            "manifests": snap.manifests,
+            "summary": snap.summary,
+            "quarantine": snap.quarantine,
+            "timestamp_ms": snap.timestamp_ms,
+        }
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        # advisory hint, atomically replaced
+        tmp = os.path.join(self.meta_dir, f".tmp-hint-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.rename(tmp, os.path.join(self.meta_dir, "version-hint.text"))
+        return True
+
+    def commit(
+        self,
+        operation: str,
+        added: list[FileEntry],
+        removed_paths: Iterable[str] = (),
+        required_paths: Iterable[str] = (),
+        quarantine: list[dict[str, Any]] | None = None,
+        base_version: int | None = None,
+        max_retries: int = 20,
+    ) -> Snapshot:
+        """Optimistic commit: new snapshot = parent − removed + added.
+
+        ``required_paths``: files this operation *read* (its inputs).
+        If a concurrent commit removed any of them, raise CommitConflict
+        instead of silently committing over rewritten data — this is the
+        Iceberg conflict-detection behavior the north_star requires.
+        """
+        removed = set(removed_paths)
+        required = set(required_paths) | removed
+        base = base_version if base_version is not None else self.current_version()
+        for _ in range(max_retries):
+            parent = self.snapshot(base)
+            live_now = self.live_paths(base)
+            if not required <= live_now:
+                missing = sorted(required - live_now)[:5]
+                raise CommitConflict(
+                    f"{operation}: input files no longer live "
+                    f"(concurrently rewritten): {missing}"
+                )
+            # rewrite manifests: drop removed paths, keep the rest
+            new_manifests: list[str] = []
+            for m in parent.manifests:
+                entries = self._read_manifest(m)
+                kept = [e for e in entries if e.path not in removed]
+                if len(kept) == len(entries):
+                    new_manifests.append(m)  # manifest unchanged → shared
+                elif kept:
+                    new_manifests.append(self._write_manifest(kept))
+            if added:
+                new_manifests.append(self._write_manifest(list(added)))
+
+            live = [
+                e for m in new_manifests for e in self._read_manifest(m)
+            ]
+            snap = Snapshot(
+                snapshot_id=base + 1,
+                parent_snapshot_id=parent.snapshot_id,
+                operation=operation,
+                manifests=new_manifests,
+                summary={
+                    "added_files": len(added),
+                    "removed_files": len(removed),
+                    "total_files": len(live),
+                    "total_rows": sum(e.rows for e in live),
+                    "total_tokens": sum(e.token_count for e in live),
+                },
+                quarantine=quarantine or [],
+                timestamp_ms=int(time.time() * 1000),
+            )
+            if self._try_claim_version(base + 1, snap):
+                return snap
+            base = self.current_version()  # lost the race → revalidate + retry
+        raise CommitConflict(f"{operation}: gave up after {max_retries} retries")
+
+    # ---------------------------------------------------------------- data IO
+
+    def _abs(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def compute_file_stats(self, abs_paths: list[str]) -> list[FileEntry]:
+        """Per-file stats via ONE distributed aggregation over
+        input_file_name() — never reads data on the driver."""
+        if not abs_paths:
+            return []
+        df = self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*abs_paths)
+        rows = (
+            df.groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum("n_tok").cast("long").alias("token_count"),
+                F.min("n_tok").alias("min_n_tok"),
+                F.max("n_tok").alias("max_n_tok"),
+                F.min("source").alias("min_source"),
+                F.max("source").alias("max_source"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect()
+        )
+        out = []
+        for r in rows:
+            # input_file_name returns a URI (file:///...)
+            p = r["file"]
+            p = p[7:] if p.startswith("file://") else p
+            rel = os.path.relpath(p, self.root)
+            out.append(
+                FileEntry(
+                    path=rel,
+                    rows=int(r["rows"]),
+                    token_count=int(r["token_count"] or 0),
+                    size_bytes=os.path.getsize(p),
+                    min_n_tok=r["min_n_tok"],
+                    max_n_tok=r["max_n_tok"],
+                    min_source=r["min_source"],
+                    max_source=r["max_source"],
+                    min_doc_id=r["min_doc_id"],
+                    max_doc_id=r["max_doc_id"],
+                )
+            )
+        return out
+
+    def write_data_files(self, df: DataFrame, prefix: str | None = None) -> list[FileEntry]:
+        """Write a DataFrame as new (uncommitted) data files, return stats.
+
+        Files land in data/ under a fresh uuid prefix; they become live
+        only when a subsequent commit references them (orphans are swept
+        by expire_snapshots' reachability GC).
+        """
+        prefix = prefix or uuid.uuid4().hex
+        stage = os.path.join(self.data_dir, f".stage-{prefix}")
+        (
+            df.select("doc_id", "tokens", "n_tok", "source")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        finals = []
+        n = 0
+        for p in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
+            final = os.path.join(self.data_dir, f"{prefix}-{n:05d}.parquet")
+            os.rename(p, final)
+            finals.append(final)
+            n += 1
+        for leftover in glob.glob(os.path.join(stage, "*")) + [stage]:
+            try:
+                os.remove(leftover) if os.path.isfile(leftover) else os.rmdir(leftover)
+            except OSError:
+                pass
+        return self.compute_file_stats(finals)
+
+    def append(self, df: DataFrame, target_file_rows: int | None = None) -> Snapshot:
+        if target_file_rows:
+            n = df.count()
+            df = df.repartition(max(1, -(-n // target_file_rows)))
+        entries = self.write_data_files(df)
+        return self.commit("append", added=entries)
+
+    # ------------------------------------------------------------------ scans
+
+    def prune_entries(
+        self,
+        entries: list[FileEntry],
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        sources: list[str] | None = None,
+    ) -> list[FileEntry]:
+        """Manifest-level file skipping on per-file min/max stats — the
+        custom half of partition pruning (SURVEY.md §4.2); Parquet
+        row-group pushdown still applies inside surviving files."""
+        out = []
+        for e in entries:
+            if min_n_tok is not None and e.max_n_tok is not None and e.max_n_tok < min_n_tok:
+                continue
+            if max_n_tok is not None and e.min_n_tok is not None and e.min_n_tok > max_n_tok:
+                continue
+            if sources is not None and e.min_source is not None:
+                if e.min_source == e.max_source and e.min_source not in sources:
+                    continue
+            out.append(e)
+        return out
+
+    def scan(
+        self,
+        version: int | None = None,
+        min_n_tok: int | None = None,
+        max_n_tok: int | None = None,
+        sources: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot scan with manifest-level file pruning. Residual
+        predicates still applied by the caller (pruning is conservative)."""
+        entries = self.prune_entries(
+            self.live_entries(version), min_n_tok, max_n_tok, sources
+        )
+        if not entries:
+            return self.spark.createDataFrame([], SEQUENCES_SCHEMA)
+        paths = [self._abs(e.path) for e in entries]
+        return self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+
+    def canonical_scan(self, version: int | None = None) -> DataFrame:
+        """Scan in canonical order (doc_id) — the basis of byte-for-byte
+        parity checks under the token-array-equality invariant."""
+        return self.scan(version).orderBy("doc_id")
+
+    # ------------------------------------------------------------------- GC
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+        """Drop all but the last ``keep_last`` snapshots and GC anything
+        unreachable: data files and manifests referenced by no retained
+        snapshot, plus staged orphans never committed."""
+        current = self.current_version()
+        keep_versions = set(range(max(1, current - keep_last + 1), current + 1))
+        retained_manifests: set[str] = set()
+        retained_files: set[str] = set()
+        for v in keep_versions:
+            snap = self.snapshot(v)
+            retained_manifests.update(snap.manifests)
+            for m in snap.manifests:
+                retained_files.update(e.path for e in self._read_manifest(m))
+
+        deleted_files, deleted_manifests, deleted_snapshots = [], [], []
+        for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
+            rel = os.path.relpath(p, self.root)
+            if rel not in retained_files:
+                os.remove(p)
+                deleted_files.append(rel)
+        for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
+            if os.path.basename(p) not in retained_manifests:
+                os.remove(p)
+                deleted_manifests.append(os.path.basename(p))
+        for p in glob.glob(os.path.join(self.meta_dir, "v*.metadata.json")):
+            m = _VMETA_RE.search(p)
+            if m and int(m.group(1)) not in keep_versions:
+                os.remove(p)
+                deleted_snapshots.append(int(m.group(1)))
+        return {
+            "deleted_data_files": sorted(deleted_files),
+            "deleted_manifests": sorted(deleted_manifests),
+            "deleted_snapshots": sorted(deleted_snapshots),
+            "retained_versions": sorted(keep_versions),
+        }
