@@ -1,0 +1,122 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Two parts:
+
+1. **Maintenance headline** (the BASELINE.json metric): a deterministic
+   synthetic tokenized-sequence table (seed=42, rows scaled off the
+   testdata sf) is written as many small files, then driven through the
+   full cycle — bin-packing compaction → Z-order clustering → MERGE
+   INTO (10% updates + inserts) → snapshot expire. Throughput =
+   sequences maintained / wall seconds for the whole cycle.
+2. **Query suite**: every `__spark_entry__.queries()` entry timed at
+   `$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1).
+
+Output: {"metric": ..., "value": <total seconds>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "sequences_per_sec": ...}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH/BASELINE.md; this file is the
+single-configuration per-round benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# sequences rows scaled to the testdata sf (sf0.1 → 200k rows ≈ 51M tokens)
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1] or "0.1")
+N_ROWS = int(os.environ.get("BENCH_ROWS", str(max(20_000, int(2_000_000 * _SF)))))
+
+
+def run_maintenance(spark) -> dict:
+    from datalakequality_spark.maintenance.clustering import cluster_table
+    from datalakequality_spark.maintenance.compaction import compact_table
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.datagen import (
+        generate_merge_batch,
+        generate_sequences,
+    )
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_work")
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = IceMiniTable.create(spark, root)
+    # small-files layout: ~80 files so compaction has real packing work
+    t.append(generate_sequences(spark, N_ROWS), target_file_rows=max(N_ROWS // 80, 1))
+    spark.sparkContext.setJobGroup("bench", "maintenance")
+
+    t0 = time.time()
+    compact_table(t, target_bytes=64 * 1024 * 1024, quality_gate=True)
+    t1 = time.time()
+    cluster_table(t, method="zorder", target_rows_per_file=250_000)
+    t2 = time.time()
+    merge_into(t, generate_merge_batch(spark, N_ROWS, insert_rows=N_ROWS // 10))
+    t3 = time.time()
+    t.expire_snapshots(keep_last=1)
+    t4 = time.time()
+
+    rows = t.snapshot().summary["total_rows"]
+    total = t4 - t0
+    out = {
+        "maintain_rows": rows,
+        "maintain_sec": round(total, 3),
+        "compact_sec": round(t1 - t0, 3),
+        "cluster_sec": round(t2 - t1, 3),
+        "merge_sec": round(t3 - t2, 3),
+        "expire_sec": round(t4 - t3, 3),
+        "sequences_per_sec": round(N_ROWS / total, 1),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def run_queries(spark) -> dict[str, float]:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    from datalakequality_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    maint = run_maintenance(spark)
+    queries = run_queries(spark)
+    total = maint["maintain_sec"] + sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "maintenance_cycle_plus_queries",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": _SF,
+                **maint,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

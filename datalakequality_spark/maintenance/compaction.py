@@ -108,14 +108,57 @@ def rewrite_bins(
     return table.compute_file_stats(finals)
 
 
+def gate_batch(
+    table: IceMiniTable, bins: list[list[FileEntry]], thresholds: dict[str, Any] | None
+) -> tuple[list[list[FileEntry]], list[dict[str, Any]]]:
+    """Run the per-file quality gate (plans/quality_gate.gate_files) over
+    one batch's input files — ONE grouped aggregation — and split out
+    quarantined files. Returns (clean bins, quarantine records)."""
+    from ..plans.quality_gate import gate_files
+
+    paths = [table._abs(e.path) for b in bins for e in b]
+    df = (
+        table.spark.read.schema(SEQUENCES_SCHEMA)
+        .parquet(*paths)
+        .withColumn(
+            "__file",
+            F.expr("replace(replace(input_file_name(), 'file://', ''), 'file:', '')"),
+        )
+    )
+    metrics = gate_files(df, thresholds)
+    bad = {
+        os.path.relpath(p, table.root): m
+        for p, m in metrics.items()
+        if m["quarantined"]
+    }
+    if not bad:
+        return bins, []
+    clean_bins = [
+        [e for e in b if e.path not in bad] for b in bins
+    ]
+    clean_bins = [b for b in clean_bins if b]
+    records = [
+        {"path": rel, "reasons": m["reasons"], "rows": m["rows"], "tokens": m["tokens"]}
+        for rel, m in sorted(bad.items())
+    ]
+    return clean_bins, records
+
+
 def compact_table(
     table: IceMiniTable,
     target_bytes: int = 128 * 1024 * 1024,
     small_file_bytes: int | None = None,
     bins_per_batch: int = 64,
     job_id: str | None = None,
+    quality_gate: bool = False,
+    gate_thresholds: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Plan + execute + commit compaction, resumable via the job log."""
+    """Plan + execute + commit compaction, resumable via the job log.
+
+    With ``quality_gate=True`` each batch first runs the per-file gate;
+    failing files are excluded from the rewrite, dropped from the live
+    set, and listed in the commit's quarantine metadata (north_star M5).
+    """
     job_id = job_id or f"compact-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
 
@@ -133,7 +176,14 @@ def compact_table(
             )
         log.write_plan(tasks)
 
-    result = {"job_id": job_id, "batches": 0, "skipped": 0, "rewritten_files": 0, "new_files": 0}
+    result = {
+        "job_id": job_id,
+        "batches": 0,
+        "skipped": 0,
+        "rewritten_files": 0,
+        "new_files": 0,
+        "quarantined_files": 0,
+    }
     for task in tasks:
         tid = task["task_id"]
         bins = [[FileEntry.from_dict(d) for d in b] for b in task["bins"]]
@@ -147,13 +197,17 @@ def compact_table(
             log.mark_done(tid, intent)
             result["skipped"] += 1
             continue
-        new_entries = rewrite_bins(table, bins)
+        quarantine: list[dict[str, Any]] = []
+        if quality_gate:
+            bins, quarantine = gate_batch(table, bins, gate_thresholds)
+        new_entries = rewrite_bins(table, bins) if bins else []
         record = {
             "task_id": tid,
             "input_files": inputs,
             "output_files": [e.path for e in new_entries],
             "rows": sum(e.rows for e in new_entries),
             "tokens": sum(e.token_count for e in new_entries),
+            "quarantined": [q["path"] for q in quarantine],
         }
         log.mark_intent(tid, record)
         table.commit(
@@ -161,9 +215,11 @@ def compact_table(
             added=new_entries,
             removed_paths=inputs,
             required_paths=inputs,
+            quarantine=quarantine,
         )
         log.mark_done(tid, record)
         result["batches"] += 1
         result["rewritten_files"] += len(inputs)
         result["new_files"] += len(new_entries)
+        result["quarantined_files"] += len(quarantine)
     return result

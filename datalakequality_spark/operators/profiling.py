@@ -54,6 +54,26 @@ def numeric_columns(df: DataFrame) -> list[str]:
     ]
 
 
+def float_columns(df: DataFrame) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    ]
+
+
+def nn(df: DataFrame, c: str) -> F.Column:
+    """Numeric column with NaN normalized to NULL — pandas counts NaN as
+    missing (``isna``) and drops it from stats, while Spark aggregates
+    treat NaN as a value and propagate it; ``nanvl`` closes the gap for
+    float/double columns at zero cost for other types."""
+    qc = F.col(c)
+    for f_ in df.schema.fields:
+        if f_.name == c and isinstance(f_.dataType, (T.FloatType, T.DoubleType)):
+            return F.nanvl(qc, F.lit(None).cast(f_.dataType))
+    return qc
+
+
 def string_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
 
@@ -70,7 +90,7 @@ def profile_dataset(df: DataFrame, exact_distinct: bool = True) -> dict[str, Any
 
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
-        qc = F.col(c)
+        qc = nn(df, c)
         aggs.append(F.sum(qc.isNull().cast("long")).alias(f"miss::{c}"))
         aggs.append(distinct_fn(qc).alias(f"uniq::{c}"))
         if c in num_cols:

@@ -89,7 +89,17 @@ def generate_sequences(
         F.lit(max_tokens),
     )
 
-    base_id = F.concat(F.col("source"), F.lit("-"), F.lpad(F.col("id").cast("string"), 12, "0"))
+    # two 6-digit groups split by a letter (supports 10^12 ids) — digit
+    # runs stay < 7 and the separator is outside the phone class
+    # [\d\s\-], so plain doc_ids never trip the ID/phone PII regexes;
+    # only the deliberate ~1% PII variants below do
+    base_id = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        F.lpad((F.col("id") / 1_000_000).cast("long").cast("string"), 6, "0"),
+        F.lit("x"),
+        F.lpad(F.pmod(F.col("id"), F.lit(1_000_000)).cast("string"), 6, "0"),
+    )
     pii_sel = F.pmod(F.col("id"), F.lit(199))
     doc_id = (
         F.when(pii_sel == 7, F.concat(base_id, F.lit("-user"), F.col("id"), F.lit("@example.com")))

@@ -436,6 +436,10 @@ class IceMiniTable:
             retained_manifests.update(snap.manifests)
             for m in snap.manifests:
                 retained_files.update(e.path for e in self._read_manifest(m))
+            # quarantined files stay on disk for inspection — they are
+            # referenced by the snapshot's quarantine metadata, not by a
+            # manifest, but are still reachable state
+            retained_files.update(q["path"] for q in snap.quarantine if "path" in q)
 
         deleted_files, deleted_manifests, deleted_snapshots = [], [], []
         for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
