@@ -1,0 +1,174 @@
+"""Maintenance invariants (SURVEY.md §5.2.3 / north_rule):
+scan parity under token-array equality, snapshot isolation, crash
+resume, quarantine, reachability GC."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakequality_spark.maintenance.clustering import cluster_table
+from datalakequality_spark.maintenance.compaction import compact_table
+from datalakequality_spark.maintenance.lineage import JobLog
+from datalakequality_spark.maintenance.merge import merge_into
+from datalakequality_spark.sources.datagen import (
+    generate_merge_batch,
+    generate_sequences,
+)
+from datalakequality_spark.sources.icemini import CommitConflict, IceMiniTable
+
+N = 8000
+
+
+def _content_hash(table: IceMiniTable) -> int:
+    """Order-insensitive full-content hash under token-array equality
+    (xxhash64 covers the tokens array element-wise)."""
+    return (
+        table.scan()
+        .agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("doc_id", "tokens", "n_tok", "source"), F.lit(2**31)
+                )
+            )
+        )
+        .collect()[0][0]
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    t.append(generate_sequences(spark, N), target_file_rows=N // 20)
+    return t
+
+
+def test_scan_parity_through_full_cycle(spark, table):
+    h0 = _content_hash(table)
+    rows0 = table.scan().count()
+    compact_table(table, target_bytes=8 * 1024 * 1024)
+    assert _content_hash(table) == h0
+    cluster_table(table, target_rows_per_file=N // 2)
+    assert _content_hash(table) == h0
+    assert table.scan().count() == rows0
+    # canonical order: doc_id ascending, rows identical field-for-field
+    first = table.canonical_scan().limit(3).collect()
+    assert [r["doc_id"] for r in first] == sorted(r["doc_id"] for r in first)
+
+
+def test_merge_upserts_and_inserts(spark, table):
+    src = generate_merge_batch(spark, N, insert_rows=N // 10)
+    n_src = src.count()
+    n_updates = (
+        src.join(table.scan().select("doc_id"), "doc_id", "left_semi").count()
+    )
+    r = merge_into(table, src)
+    assert table.scan().count() == N + (n_src - n_updates)
+    # updated rows now carry rev=1 token arrays from the source
+    updated = table.scan().join(src, ["doc_id", "n_tok"], "left_semi")
+    assert updated.count() >= n_updates
+
+
+def test_merge_pure_insert_keeps_existing_files(spark, table):
+    before = table.live_paths()
+    inserts = generate_sequences(spark, 500, start_id=10 * N)
+    merge_into(table, inserts)
+    assert before <= table.live_paths()  # copy-on-write touched nothing
+
+
+def test_snapshot_isolation_conflict(spark, table):
+    # writer A pins its inputs, a concurrent compaction rewrites them,
+    # then A's commit must abort (Iceberg conflict-detection semantics)
+    pinned = [e.path for e in table.live_entries()]
+    compact_table(table, target_bytes=8 * 1024 * 1024)
+    with pytest.raises(CommitConflict):
+        table.commit("merge", added=[], removed_paths=pinned[:1], required_paths=pinned)
+
+
+def test_concurrent_nonconflicting_commit_retries(spark, table):
+    # a commit whose inputs are untouched retries on top of the winner
+    v0 = table.current_version()
+    new = table.write_data_files(generate_sequences(spark, 100, start_id=20 * N))
+    compact_table(table, target_bytes=8 * 1024 * 1024)  # concurrent winner
+    snap = table.commit("append", added=new, base_version=v0)
+    assert snap.snapshot_id == table.current_version()
+    assert {e.path for e in new} <= table.live_paths()
+
+
+def test_crash_resume_idempotent(spark, table, monkeypatch):
+    job = "compact-resume-test"
+    real_mark_done = JobLog.mark_done
+    calls = {"n": 0}
+
+    def dying_mark_done(self, task_id, record):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after commit, before ack")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError):
+        compact_table(table, target_bytes=8 * 1024 * 1024, job_id=job)
+    v_after_crash = table.current_version()
+    h = _content_hash(table)
+
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    r = compact_table(table, target_bytes=8 * 1024 * 1024, job_id=job)
+    # the interrupted task's commit landed → resume must skip, not redo
+    assert r["skipped"] >= 1 and r["batches"] == 0
+    assert table.current_version() == v_after_crash
+    assert _content_hash(table) == h
+
+
+def test_quarantine_excludes_failing_files(spark, tmp_path):
+    t = IceMiniTable.create(spark, str(tmp_path / "q"))
+    good = generate_sequences(spark, 4000)
+    t.append(good, target_file_rows=500)
+    # one poisoned file: every doc_id carries an email → pii_ratio 1.0
+    bad = generate_sequences(spark, 400, start_id=10**9).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("+leak@example.com"))
+    )
+    t.append(bad.coalesce(1), target_file_rows=None)
+    r = compact_table(t, target_bytes=8 * 1024 * 1024, quality_gate=True)
+    assert r["quarantined_files"] == 1
+    snap = t.snapshot()
+    assert len(snap.quarantine) == 1 and "pii_ratio" in snap.quarantine[0]["reasons"][0]
+    assert t.scan().count() == 4000  # bad rows excluded from the live set
+    # quarantined file survives GC for inspection
+    qpath = snap.quarantine[0]["path"]
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(t._abs(qpath))
+
+
+def test_expire_snapshots_gc(spark, table):
+    compact_table(table, target_bytes=8 * 1024 * 1024)
+    all_files = {
+        os.path.relpath(p, table.root)
+        for p in __import__("glob").glob(os.path.join(table.data_dir, "*.parquet"))
+    }
+    live = table.live_paths()
+    assert live < all_files  # pre-GC: old files still on disk
+    r = table.expire_snapshots(keep_last=1)
+    assert set(r["deleted_data_files"]) == all_files - live
+    remaining = {
+        os.path.relpath(p, table.root)
+        for p in __import__("glob").glob(os.path.join(table.data_dir, "*.parquet"))
+    }
+    assert remaining == live
+    assert table.current_version() == max(r["retained_versions"])
+
+
+def test_load_missing_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        IceMiniTable.load(spark, str(tmp_path / "nope"))
+
+
+def test_manifest_pruning(spark, table):
+    cluster_table(table, target_rows_per_file=N // 8)
+    entries = table.live_entries()
+    # clustering produced tight n_tok ranges → pruning must drop files
+    pruned = table.prune_entries(entries, min_n_tok=4000)
+    assert len(pruned) < len(entries)
+    # pruned scan returns exactly the same rows as a filtered full scan
+    full = table.scan().where(F.col("n_tok") >= 4000).count()
+    assert table.scan(min_n_tok=4000).where(F.col("n_tok") >= 4000).count() == full
