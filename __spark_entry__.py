@@ -152,6 +152,156 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- training-data pipeline ops
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicates of the first 20 docs (deterministic
+    suffix edit) — gives the dedup operators true positives to find."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (
+        d.where(F.col("doc_id") < 20)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" near duplicate suffix")))
+    )
+    return d.unionByName(dup)
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.dedup import exact_dedup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 15).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    return exact_dedup_stats(d.unionByName(planted), cols=["text"])
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", threshold=0.6, k=3
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate (LSH recall < 1) → no SQL oracle; rows-only check
+    from datalakequality_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", threshold=0.6
+    )
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash-function-specific → no SQL oracle; rows-only check
+    from datalakequality_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(
+        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=6
+    )
+
+
+def q_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine hash differs from DuckDB's, but GROUP SIZES are
+    # hash-independent: plant exact copies, count duplicate groups
+    from datalakequality_spark.operators.textanalysis import content_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(3_000_000)
+    )
+    both = d.unionByName(planted)
+    groups = (
+        both.select(content_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.sum("n").cast("long").alias("dup_rows"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.textanalysis import with_text_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(d, "text").select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.textanalysis import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.textanalysis import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk(emb, "vec_id", "embedding", query, k=10)
+
+
+def q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakequality_spark.operators.dedup import embedding_dup_pairs
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    )
+    planted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100_000))
+    both = emb.unionByName(planted)
+    return embedding_dup_pairs(
+        both, "vec_id", "embedding", dim=64, threshold=0.99, brute_force=True
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate by construction → rows-only check
+    from datalakequality_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return ann_topk(emb, "vec_id", "embedding", query, k=10, max_hamming=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": q_profile_summary,
@@ -164,10 +314,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "running_window": q_running_window,
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "fingerprint_dupes": q_fingerprint_dupes,
+        "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
+        "lang_id_counts": q_lang_id_counts,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dupes": q_embedding_dupes,
+        "ann_topk": q_ann_topk,
     }
 
 
 # ---------------------------------------------------------------- oracle SQL
+
+_EN_STOP = "['the','and','of','to','a','in','is','that','for','it']"
+
+_TEXT_STATS_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+             len(text) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS stop_hits,
+             len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]')) AS n_punct,
+             len(regexp_extract_all(text, '\d')) AS n_digit
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+      round((n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len,
+      round(n_digit::DOUBLE / greatest(n_chars, 1), 6) AS digit_ratio,
+      round(stop_hits::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+      round(
+        least(n_tokens / 20.0, 1.0) * 0.3
+        + CASE WHEN (n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1)
+                    BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+        + least((stop_hits::DOUBLE / greatest(n_tokens, 1)) * 3.0, 1.0) * 0.2
+        + (1.0 - least((n_punct::DOUBLE / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.1
+        + (1.0 - least((n_digit::DOUBLE / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.1
+      , 6) AS quality
+    FROM m
+"""
+
+_LANG_ID_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text,
+        len(list_intersect(toks, ['the','and','of','to','a','in','is','that','for','it'])) AS s_en,
+        len(list_intersect(toks, ['el','la','de','que','y','en','los','del','las','por'])) AS s_es,
+        len(list_intersect(toks, ['der','die','und','das','nicht','von','ist','mit','den','im'])) AS s_de,
+        len(list_intersect(toks, ['le','la','les','de','et','des','un','une','du','est'])) AS s_fr,
+        len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+        len(text) AS n
+      FROM t
+    )
+    SELECT pred_lang, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN cjk > n * 0.2 THEN 'zh'
+        WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+        ELSE 'fr' END AS pred_lang
+      FROM s
+    ) GROUP BY pred_lang ORDER BY pred_lang
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -270,6 +488,82 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                    AS running_value
             FROM events
+        """,
+        "dedup_exact_stats": """
+            WITH docs2 AS (SELECT text FROM documents
+                           UNION ALL SELECT text FROM documents WHERE doc_id < 15)
+            SELECT count(*) AS row_count,
+                   (SELECT count(*) FROM (SELECT DISTINCT text FROM docs2)) AS distinct_count,
+                   count(*) - (SELECT count(*) FROM (SELECT DISTINCT text FROM docs2))
+                       AS duplicate_count
+            FROM docs2
+        """,
+        "ngram_jaccard": r"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' near duplicate suffix'
+              FROM documents WHERE doc_id < 20
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)]) AS s
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                    FROM docs2)
+              WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.6
+        """,
+        "fingerprint_dupes": r"""
+            WITH docs2 AS (SELECT text FROM documents
+                           UNION ALL SELECT text FROM documents WHERE doc_id < 25),
+            g AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                         count(*) AS n
+                  FROM docs2 GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS dup_groups,
+                   CAST(sum(n) AS BIGINT) AS dup_rows
+            FROM g WHERE n > 1
+        """,
+        "text_stats": _TEXT_STATS_SQL,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}'))
+                      + len(regexp_extract_all(text, '\d'))
+                      + len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))
+                        AS BIGINT) AS n_bpe_ish
+            FROM documents
+        """,
+        "lang_id_counts": _LANG_ID_SQL,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], qv)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_dupes": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings WHERE vec_id < 100),
+            allv AS (SELECT * FROM base
+                     UNION ALL SELECT vec_id + 100000, v FROM base)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.99
         """,
     }
 

@@ -1,0 +1,366 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's whole-row duplicate count (SURVEY.md §2.2 P3),
+a 100 TB corpus needs near-duplicate detection. All variants are
+DataFrame-first; Python only ever touches data through one Arrow
+pandas_udf (SimHash bit-packing).
+
+- **Exact**: hash-groupBy on the chosen key columns — one shuffle.
+- **MinHash + LSH**: shingle → minhash → band → bucket-join. The
+  signature is computed MAP-SIDE with ``array_min(transform(...))``
+  over the shingle array (no explode, no shuffle until the band join);
+  only candidate pairs from shared LSH buckets are verified with exact
+  Jaccard. This is the standard web-scale dedup shape: the shuffle
+  volume is #docs × #bands tiny rows, never #docs × #shingles.
+- **SimHash**: token hashes JVM-side, 64-bit sign-sum packed in one
+  vectorized pandas_udf (np.add.reduceat over the Arrow batch).
+- **N-gram Jaccard**: exact pairwise similarity via shingle explode +
+  self-join — the verification oracle for the approximate variants.
+- **Embedding cosine**: random-hyperplane LSH buckets (deterministic,
+  seeded) + exact cosine verification; brute-force path for oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------ shingles
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column, JVM-side:
+    split → sliding window via sequence+slice → concat_ws."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(toks)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] — texts
+    # shorter than k tokens must yield an empty shingle set instead
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------- exact
+
+
+def exact_dedup_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single row (row_count, distinct_count, duplicate_count) over the
+    key columns (all columns when None) — one hash aggregation."""
+    keyed = df.select(*cols) if cols else df
+    total = df.agg(F.count(F.lit(1)).alias("row_count"))
+    distinct = keyed.dropDuplicates().agg(F.count(F.lit(1)).alias("distinct_count"))
+    return total.crossJoin(distinct).select(
+        "row_count",
+        "distinct_count",
+        (F.col("row_count") - F.col("distinct_count")).alias("duplicate_count"),
+    )
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
+    """Keep exactly one row per key (smallest ``order_by`` wins) — a
+    single shuffle on the keys; deterministic under re-runs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.asc(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(col: Column, num_perm: int = 64, k: int = 3) -> Column:
+    """num_perm-wide MinHash signature computed entirely map-side:
+    sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Implemented as ONE ``aggregate`` fold over the shingle array with an
+    array accumulator — the shingle set is materialized once per row
+    (64 separate array_min(transform(...)) expressions would inline and
+    recompute the shingling per permutation, a 64× blowup Catalyst does
+    not eliminate). NB: single-arg lambdas only — a two-arg lambda makes
+    Spark bind the second parameter to the array index."""
+    sh = word_shingles(col, k)
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc, perms, lambda m, i: F.least(m, F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with jaccard ≥
+    threshold, found via banded MinHash-LSH then verified exactly.
+
+    Plan shape: one map-side pass builds (id, shingles, signature); the
+    band explode shuffles #docs × bands tiny rows; the bucket self-join
+    emits candidates; exact Jaccard verification joins the (small)
+    candidate set back to the shingle arrays. With bands=16 over 64
+    perms (r=4), P(candidate | j=0.7) ≈ 1−(1−0.7⁴)¹⁶ ≈ 0.99.
+    """
+    r = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+        minhash_signature(F.col(text_col), num_perm, k).alias("__sig"),
+    ).where(F.size("__sh") > 0)
+
+    # all band hashes in ONE expression over the signature (16 separate
+    # slice exprs would inline and re-evaluate the signature per band),
+    # then posexplode → (band index, band hash)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice("__sig", b * r + 1, r)),
+    )
+    banded = base.select(
+        "__id", F.posexplode(band_arr).alias("band", "bh")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = base.select("__id", "__sh")
+    verified = (
+        candidates.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+# ------------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT pairwise Jaccard over word k-gram shingles — shingle
+    explode + self-join + per-pair intersection count. Quadratic in
+    co-bucketed docs; this is the oracle/verification path, the scale
+    path is minhash_dedup_pairs."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), word_shingles(F.col(text_col), k).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    sizes = sh.select("__id", F.size("__sh").alias("__n"))
+    ex = sh.select("__id", F.explode("__sh").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "__n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "__n": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+@F.pandas_udf(T.LongType())
+def _pack_simhash(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token 64-bit hashes: per bit, sign of the
+    Σ(±1) vote. Vectorized over the whole Arrow batch with reduceat."""
+    lens = hashes.map(len).to_numpy(dtype=np.int64)
+    out = np.zeros(len(hashes), dtype=np.uint64)
+    nz = lens > 0
+    if nz.any():
+        concat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes[nz]]
+        ).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((concat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+        offsets = np.zeros(nz.sum(), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        votes = np.add.reduceat(bits, offsets, axis=0)  # (docs, 64)
+        packed = (votes > 0).astype(np.uint64) << shifts
+        out[nz] = packed.sum(axis=1, dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
+
+
+def simhash(col: Column) -> Column:
+    """SimHash column expression: token hashes JVM-side (split +
+    transform(xxhash64)), one Arrow UDF packs the 64 bit-votes."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _pack_simhash(hashes)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: 4 rotations of ``prefix_bits``-bit prefixes (any pair
+    within Hamming 3 of each other shares at least one of 4 disjoint
+    16-bit blocks unchanged — pigeonhole) → bucket join → exact
+    popcount filter via bit_count(xor)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
+    )
+    blocks = base.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("__sh", b * prefix_bits)
+                        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sh", "bb.blk", "bb.key")
+    pairs = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------- embedding near-dups
+
+
+def _plane_literals(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _dot(vec: Column, plane: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (sign bits packed to a long);
+    deterministic via seeded plane generation."""
+    planes = _plane_literals(n_planes, dim, seed)
+    bits = [
+        (F.when(_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << i))
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits[1:], bits[0]).cast("long")
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    brute_force: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
+
+    Default: hyperplane-LSH bucket join (collision prob for cosine 0.95
+    on 12 planes ≈ (1−θ/π)¹² ≈ 0.67, so run with brute_force=True when
+    recall must be exact — that is also the DuckDB-oracle path)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), norm.alias("__n")
+    )
+    if not brute_force:
+        base = base.withColumn(
+            "__b", embedding_lsh_bucket(F.col("__v"), dim, n_planes)
+        )
+        joined = base.alias("a").join(
+            base.alias("b"),
+            (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+    else:
+        joined = base.alias("a").join(
+            base.alias("b"), F.col("a.__id") < F.col("b.__id")
+        )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (dot / (F.col("a.__n") * F.col("b.__n"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline (and the DuckDB
+oracle); the scale path is hyperplane-LSH bucketing with multi-probe
+(exact re-ranking inside candidate buckets). Dot products run JVM-side
+via zip_with/aggregate — no Python in the data path.
+
+Scale notes: brute force is a full scan per query — fine for batched
+scoring (the scan is embarrassingly parallel, no shuffle). The LSH
+path prunes the scan to matching buckets; bucket ids can be written as
+a table column and used for manifest-level pruning so ANN probes read
+only matching files.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _plane_literals, embedding_lsh_bucket
+
+
+def _lit_array(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def cosine_to_query(vec: Column, query: list[float]) -> Column:
+    """Cosine similarity of an embedding column against one query
+    vector, as a single JVM expression."""
+    q = _lit_array(query)
+    qnorm = float(np.linalg.norm(query))
+    dot = F.aggregate(
+        F.zip_with(vec, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vnorm = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return dot / (vnorm * F.lit(qnorm))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity; deterministic tie-break
+    on the id column. One scan, a TakeOrdered at the end — no shuffle
+    of the data itself."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_to_query(F.col(vec_col), query), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    max_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH bucket + multi-probe.
+
+    Candidates = rows whose bucket id is within ``max_hamming`` sign
+    flips of the query's bucket (probing all near buckets recovers most
+    of the recall LSH loses); exact cosine re-ranks the candidates.
+    """
+    dim = len(query)
+    planes = _plane_literals(n_planes, dim, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(query, p)) > 0:
+            qbits |= 1 << i
+
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        embedding_lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("__b"),
+    )
+    candidates = bucketed.where(
+        F.bit_count(F.col("__b").bitwiseXOR(F.lit(qbits))) <= max_hamming
+    )
+    return cosine_topk(candidates, id_col, vec_col, query, k)

@@ -1,0 +1,52 @@
+"""Structured Streaming ingest into IceMini tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakequality_spark.sources.datagen import generate_sequences
+from datalakequality_spark.sources.icemini import IceMiniTable, SEQUENCES_SCHEMA
+from datalakequality_spark.streaming.ingest import stream_append, windowed_counts
+
+
+def test_stream_append_commits_snapshots(spark, tmp_path):
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    # first micro-batch: 500 rows land as files in the source dir
+    generate_sequences(spark, 500).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir)
+    q = stream_append(stream, t, checkpoint_dir=ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+    assert t.scan().count() == 500
+    snaps = [s for s in t.snapshots() if s.operation == "stream-append"]
+    assert snaps and all("epoch_id" in s.summary for s in snaps)
+
+    # restart from the same checkpoint with one NEW file: only the new
+    # rows are appended, nothing is reprocessed
+    generate_sequences(spark, 300, start_id=10_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q2 = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.scan().count() == 800
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_windowed_counts_plan(spark):
+    # streaming aggregation with watermark builds a valid incremental plan
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 10)
+        .load()
+        .select(F.col("timestamp").alias("ts"), F.pmod("value", F.lit(3)).alias("k"))
+    )
+    agg = windowed_counts(stream, "ts", "10 seconds", "20 seconds", ["k"])
+    assert agg.isStreaming
+    assert "window" in agg.columns and "n_rows" in agg.columns

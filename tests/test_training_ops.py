@@ -1,0 +1,233 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datalakequality_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from datalakequality_spark.operators.similarity import ann_topk, cosine_topk
+from datalakequality_spark.operators.textanalysis import (
+    bpe_ish_token_count,
+    content_fingerprint,
+    lang_id,
+    token_count,
+    winnow_fingerprint,
+    with_text_stats,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 random texts + 20 near-duplicates (one-token suffix edit)."""
+    rng = np.random.default_rng(5)
+    texts = [
+        " ".join(rng.choice(VOCAB, size=rng.integers(20, 40)))
+        for _ in range(60)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, texts[i] + " appended tail token") for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "t string")
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == []  # shorter than k → empty, not bogus slices
+    assert got[2]["s"] == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "id long, t string"
+    )
+    stats = exact_dedup_stats(df, ["t"]).collect()[0]
+    assert (stats["row_count"], stats["distinct_count"], stats["duplicate_count"]) == (3, 2, 1)
+    kept = exact_dedup(df, ["t"], "id").collect()
+    assert sorted(r["id"] for r in kept) == [1, 3]  # smallest id wins
+
+
+def test_ngram_jaccard_exact(spark, corpus):
+    pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5, k=3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # every planted pair found with the analytically-known jaccard
+    pdf = corpus.toPandas().set_index("doc_id")["text"]
+    for i in range(20):
+        assert (i, 1000 + i) in got
+        sh_a = {" ".join(pdf[i].split()[j : j + 3]) for j in range(len(pdf[i].split()) - 2)}
+        sh_b = {
+            " ".join(pdf[1000 + i].split()[j : j + 3])
+            for j in range(len(pdf[1000 + i].split()) - 2)
+        }
+        expected = len(sh_a & sh_b) / len(sh_a | sh_b)
+        assert got[(i, 1000 + i)] == pytest.approx(expected, abs=1e-6)
+
+
+def test_minhash_recall_and_precision(spark, corpus):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", 0.6).collect()
+    }
+    approx_pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.6)
+    approx = {(r["id_a"], r["id_b"]) for r in approx_pairs.collect()}
+    # verification step makes precision exact; banded LSH recall ≥ 90%
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact) > 0
+
+
+def test_simhash_finds_planted_dups(spark, corpus):
+    pairs = simhash_dup_pairs(corpus, "doc_id", "text", max_hamming=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(i, 1000 + i) for i in range(20)}
+    assert len(got & planted) >= 15  # sign-vote hash: near but not exact
+
+
+def test_embedding_dup_pairs_brute_force(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((30, 8)).astype(float)
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    rows += [(100 + i, (vecs[i] * 2.0).tolist()) for i in range(5)]  # same direction
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    pairs = embedding_dup_pairs(df, "id", "v", dim=8, threshold=0.999, brute_force=True)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((100, 16))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(100)], "id long, v array<double>"
+    )
+    q = vecs[0].tolist()
+    got = cosine_topk(df, "id", "v", q, k=5).collect()
+    cos = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    expected = sorted(range(100), key=lambda i: (-round(cos[i], 6), i))[:5]
+    assert [r["id"] for r in got] == expected
+
+
+def test_ann_topk_finds_planted_neighbors(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((200, 16))
+    q = vecs[0]
+    # plant 5 near neighbors of the query
+    for i in range(1, 6):
+        vecs[i] = q + rng.standard_normal(16) * 0.05
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(200)], "id long, v array<double>"
+    )
+    got = {r["id"] for r in ann_topk(df, "id", "v", q.tolist(), k=6, max_hamming=2).collect()}
+    assert {0, 1, 2, 3, 4, 5} & got >= {0}
+    assert len({1, 2, 3, 4, 5} & got) >= 4  # high-recall for true neighbors
+
+
+# ---------------------------------------------------------------------- text
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("  one  two  ",), ("",)], "t string"
+    )
+    got = df.select(
+        token_count(F.col("t")).alias("n"),
+        bpe_ish_token_count(F.col("t")).alias("b"),
+    ).collect()
+    assert [r["n"] for r in got] == [3, 2, 0]
+    # 'hello' → hell+o (2), 'world' → worl+d (2), 'foo' → 1
+    assert got[0]["b"] == 5
+
+
+def test_text_stats_ratios(spark):
+    df = spark.createDataFrame([("the cat and the dog sat",)], "t string")
+    r = with_text_stats(df, "t").collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["stopword_ratio"] == pytest.approx(3 / 6)  # the, and, the
+    assert r["digit_ratio"] == 0.0
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("el perro y la casa de los vecinos que ladra",),
+            ("der hund und die katze sind nicht im haus",),
+            ("le chat et les chiens du jardin est une merveille",),
+            ("这是一个中文句子 它包含很多汉字",),
+            ("zzz qqq xxx",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_id(F.col("t"))).collect()]
+    assert got == ["en", "es", "de", "fr", "zh", "und"]
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("goodbye world",)], "t string"
+    )
+    fps = [r[0] for r in df.select(content_fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1]  # whitespace/case-normalized
+    assert fps[0] != fps[2]
+    wfp = [r[0] for r in df.select(winnow_fingerprint(F.col("t"), k=2).alias("f")).collect()]
+    assert wfp[0] == wfp[1]
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features(spark):
+    from datalakequality_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        real_decode_stub,
+        with_media_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"payload-one"), (2, b"payload-two"), (3, None)],
+        "id long, media binary",
+    )
+    out = extract_features(df, "media", "id").orderBy("id").collect()
+    assert len(out) == 3 and len(out[0]["features"]) == 16
+    # deterministic: same payload → same features across runs
+    again = extract_features(df, "media", "id").orderBy("id").collect()
+    assert out[0]["features"] == again[0]["features"]
+    # the strict decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"x", {})
+
+    meta = with_media_meta(df, "media").select("media_meta.*").first()
+    assert meta["format"] == "bin" and meta["width"] >= 1
+
+
+def test_multimodal_frame_sampling(spark):
+    from datalakequality_spark.operators.multimodal import (
+        sample_frames,
+        with_media_meta,
+    )
+
+    df = with_media_meta(
+        spark.createDataFrame([(1, b"vid-a"), (2, b"vid-b")], "id long, media binary"),
+        "media",
+    )
+    frames = sample_frames(df, "media", "id", every_ms=10_000)
+    pdf = frames.toPandas()
+    counts = pdf.groupby("id").size()
+    meta = {r["id"]: r["media_meta"] for r in df.collect()}
+    for i in (1, 2):
+        assert counts[str(i)] == max(meta[i]["duration_ms"] // 10_000, 1)
