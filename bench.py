@@ -54,10 +54,19 @@ def run_maintenance(spark) -> dict:
     t.append(generate_sequences(spark, N_ROWS), target_file_rows=max(N_ROWS // 80, 1))
     spark.sparkContext.setJobGroup("bench", "maintenance")
 
+    # file-size targets scaled so the run produces ~3 output files per
+    # core (one output file = one write task — parallelism is capped at
+    # the file count, for compaction here exactly as for Iceberg's
+    # RewriteDataFiles); a real cluster would use 128-512 MB files with
+    # the same code path
+    est_bytes = N_ROWS * 563  # ≈ zstd bytes/row at mean 256 tokens
+    target_bytes = max(8 * 1024 * 1024, est_bytes // (3 * CPUS))
     t0 = time.time()
-    compact_table(t, target_bytes=64 * 1024 * 1024, quality_gate=True)
+    compact_table(t, target_bytes=target_bytes, quality_gate=True)
     t1 = time.time()
-    cluster_table(t, method="zorder", target_rows_per_file=250_000)
+    cluster_table(
+        t, method="zorder", target_rows_per_file=max(5_000, N_ROWS // (3 * CPUS))
+    )
     t2 = time.time()
     merge_into(t, generate_merge_batch(spark, N_ROWS, insert_rows=N_ROWS // 10))
     t3 = time.time()

@@ -60,52 +60,74 @@ def _strip_uri(p: str) -> str:
     return p[7:] if p.startswith("file://") else (p[5:] if p.startswith("file:") else p)
 
 
+def _merge_stats(members: list[FileEntry], path: str, size_bytes: int) -> FileEntry:
+    """Output-file stats derived from the member manifest entries — the
+    compacted file contains exactly the member rows, so rows/tokens sum
+    and min/max compose (min of mins, max of maxes); no stats re-scan."""
+
+    def _mm(fn, vals):
+        vals = [v for v in vals if v is not None]
+        return fn(vals) if len(vals) == len(members) else None
+
+    return FileEntry(
+        path=path,
+        rows=sum(e.rows for e in members),
+        token_count=sum(e.token_count for e in members),
+        size_bytes=size_bytes,
+        min_n_tok=_mm(min, [e.min_n_tok for e in members]),
+        max_n_tok=_mm(max, [e.max_n_tok for e in members]),
+        min_source=_mm(min, [e.min_source for e in members]),
+        max_source=_mm(max, [e.max_source for e in members]),
+        min_doc_id=_mm(min, [e.min_doc_id for e in members]),
+        max_doc_id=_mm(max, [e.max_doc_id for e in members]),
+    )
+
+
 def rewrite_bins(
     table: IceMiniTable,
     bins: list[list[FileEntry]],
+    max_concurrency: int | None = None,
 ) -> list[FileEntry]:
-    """Rewrite each bin to exactly one file, all bins in ONE Spark job.
+    """Rewrite each bin to exactly one file — one SINGLE-TASK Spark job
+    per bin, submitted concurrently from a thread pool (the same shape
+    as Iceberg's RewriteDataFiles file groups).
 
-    Every row of bin b is tagged via a broadcast file→bin join, hashed to
-    a partition on bin_id, and ``partitionBy("__bin")`` splits any
-    co-hashed bins back into separate files at write time — so the
-    one-file-per-bin invariant holds regardless of hash collisions.
+    No shuffle: a bin's rows only ever move from its member files into
+    its one output file, so ``coalesce(1)`` over the member files is the
+    whole plan. Output stats come from `_merge_stats` (manifest algebra,
+    zero extra scans). Concurrency = min(#bins, cores) single-task jobs
+    keeps every core busy; on a multi-executor cluster raise
+    ``max_concurrency`` to the cluster's total task slots.
     """
-    spark = table.spark
-    mapping = [
-        (os.path.join(table.root, e.path), b) for b, members in enumerate(bins) for e in members
-    ]
-    paths = [p for p, _ in mapping]
-    map_df = spark.createDataFrame(mapping, "____file string, __bin int")
-    df = (
-        spark.read.schema(SEQUENCES_SCHEMA)
-        .parquet(*paths)
-        .withColumn("____file", F.expr("replace(replace(input_file_name(), 'file://', ''), 'file:', '')"))
-        .join(F.broadcast(map_df), "____file")
-        .drop("____file")
-    )
-    prefix = uuid.uuid4().hex
-    stage = os.path.join(table.data_dir, f".stage-{prefix}")
-    (
-        df.repartition(len(bins), "__bin")
-        .write.mode("overwrite")
-        .partitionBy("__bin")
-        .parquet(stage)
-    )
-    finals = []
     import glob as _glob
-
-    for bin_dir in sorted(_glob.glob(os.path.join(stage, "__bin=*"))):
-        b = int(bin_dir.rsplit("=", 1)[1])
-        parts = sorted(_glob.glob(os.path.join(bin_dir, "part-*.parquet")))
-        for j, p in enumerate(parts):
-            final = os.path.join(table.data_dir, f"{prefix}-{b:05d}-{j}.parquet")
-            os.rename(p, final)
-            finals.append(final)
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
-    shutil.rmtree(stage, ignore_errors=True)
-    return table.compute_file_stats(finals)
+    spark = table.spark
+    prefix = uuid.uuid4().hex
+    sc_cores = spark.sparkContext.defaultParallelism
+    workers = max(1, min(len(bins), max_concurrency or sc_cores))
+
+    def one(b: int, members: list[FileEntry]) -> FileEntry:
+        paths = [os.path.join(table.root, e.path) for e in members]
+        stage = os.path.join(table.data_dir, f".stage-{prefix}-{b:05d}")
+        (
+            spark.read.schema(SEQUENCES_SCHEMA)
+            .parquet(*paths)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
+        final = os.path.join(table.data_dir, f"{prefix}-{b:05d}.parquet")
+        os.rename(part, final)
+        shutil.rmtree(stage, ignore_errors=True)
+        return _merge_stats(
+            members, os.path.relpath(final, table.root), os.path.getsize(final)
+        )
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(lambda ib: one(*ib), enumerate(bins)))
 
 
 def gate_batch(
@@ -114,18 +136,23 @@ def gate_batch(
     """Run the per-file quality gate (plans/quality_gate.gate_files) over
     one batch's input files — ONE grouped aggregation — and split out
     quarantined files. Returns (clean bins, quarantine records)."""
-    from ..plans.quality_gate import gate_files
+    from ..plans.quality_gate import gate_files, parquet_null_counts
 
     paths = [table._abs(e.path) for b in bins for e in b]
+    # scan only the light columns (doc_id for PII, n_tok for outliers);
+    # the tokens array's null counts come from parquet footer stats
     df = (
         table.spark.read.schema(SEQUENCES_SCHEMA)
         .parquet(*paths)
-        .withColumn(
-            "__file",
-            F.expr("replace(replace(input_file_name(), 'file://', ''), 'file:', '')"),
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr(
+                "replace(replace(input_file_name(), 'file://', ''), 'file:', '')"
+            ).alias("__file"),
         )
     )
-    metrics = gate_files(df, thresholds)
+    metrics = gate_files(df, thresholds, parquet_null_counts(paths, "tokens"))
     bad = {
         os.path.relpath(p, table.root): m
         for p, m in metrics.items()

@@ -44,10 +44,14 @@ def merge_into(
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
 
-    # last-writer-wins dedup of the source on the merge key
+    # last-writer-wins dedup of the source on the merge key; persist —
+    # the source plan is evaluated up to 4 times below (key bounds,
+    # affected-file semi-join, anti-join, rewrite union) and an
+    # expensive upstream plan would otherwise recompute each time
     source = source.dropDuplicates([key])
     if salt_partitions:
         source = source.repartition(salt_partitions, F.xxhash64(key, F.rand()))
+    source = source.persist()
 
     entries = table.live_entries()
     src_keys = source.select(key)
@@ -99,6 +103,7 @@ def merge_into(
         }
         log.write_plan([{"task_id": "merge", **record}])
         log.mark_done("merge", record)
+        source.unpersist()
         return {"job_id": job_id, "snapshot_id": snap.snapshot_id, **record}
 
     affected_abs = [table._abs(p) for p in affected_paths]
@@ -127,4 +132,5 @@ def merge_into(
         required_paths=affected_paths,
     )
     log.mark_done("merge", record)
+    source.unpersist()
     return {"job_id": job_id, "snapshot_id": snap.snapshot_id, **record}

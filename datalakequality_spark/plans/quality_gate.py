@@ -214,19 +214,47 @@ def run_quality_gate(
 # ------------------------------------------------------- per-file gate (M5)
 
 
+def parquet_null_counts(paths: list[str], column: str) -> dict[str, int]:
+    """Exact per-file null counts for one column, read from the parquet
+    FOOTER statistics only — the column's data pages are never touched.
+    This is how the gate checks the (large) tokens array for nulls
+    without scanning it. O(#files) metadata reads, driver-side; at very
+    large file counts distribute with sc.parallelize over the path list.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = md.schema.names.index(column) if column in md.schema.names else None
+        total = 0
+        if idx is not None:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or st.null_count is None:
+                    total = None
+                    break
+                total += st.null_count
+        out[p] = total if total is not None else -1  # -1 → unknown
+    return out
+
+
 def gate_files(
     df_with_file: DataFrame,
     thresholds: dict[str, Any] | None = None,
+    extra_null_counts: dict[str, int] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """Per-FILE quality metrics in ONE grouped aggregation over
     ``__file`` (populated from input_file_name() by the caller), plus
     quarantine decisions.
 
-    Metrics per file over the sequences schema: row count, null token
-    arrays, n_tok mean/std + z-outliers vs the GLOBAL distribution,
-    doc_id PII regex hits. A file is quarantined when any threshold is
-    exceeded — the failing files are excluded from the maintenance
-    commit and listed in the snapshot's quarantine metadata.
+    Metrics per file over the sequences schema: row count, null
+    n_tok/tokens (tokens nulls come from ``extra_null_counts`` — footer
+    stats — so the array column is never scanned), n_tok z-outliers vs
+    the GLOBAL distribution, doc_id PII regex hits. A file is
+    quarantined when any threshold is exceeded — failing files are
+    excluded from the maintenance commit and listed in the snapshot's
+    quarantine metadata.
     """
     thr = {
         "max_null_ratio": 0.0,  # sequences contract: tokens/n_tok required
@@ -253,19 +281,18 @@ def gate_files(
         df_with_file.groupBy("__file")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.sum(
-                (F.col("tokens").isNull() | F.col("n_tok").isNull()).cast("long")
-            ).alias("nulls"),
+            F.sum(F.col("n_tok").isNull().cast("long")).alias("nulls"),
             F.sum(z_out.cast("long")).alias("outliers"),
             F.sum(pii_hit.cast("long")).alias("pii_rows"),
             F.sum("n_tok").alias("tokens"),
         )
         .collect()
     )
+    extra = extra_null_counts or {}
     out: dict[str, dict[str, Any]] = {}
     for r in rows:
         n = max(int(r["rows"]), 1)
-        null_ratio = int(r["nulls"] or 0) / n
+        null_ratio = max(int(r["nulls"] or 0), extra.get(r["__file"], 0)) / n
         outlier_ratio = int(r["outliers"] or 0) / n
         pii_ratio = int(r["pii_rows"] or 0) / n
         reasons = []
