@@ -95,6 +95,26 @@ def q_pii_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_flags_df(d)
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # D1–D5 end-to-end: baseline from even orderkeys, current = odd;
+    # PSI under np.histogram bucket semantics (drift.py kernels)
+    from datalakequality_spark.operators.drift import (
+        analyze_drift_against_baseline,
+        build_numeric_baseline,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_orderkey") % 2 == 0).select("l_quantity")
+    cur = li.where(F.col("l_orderkey") % 2 == 1).select("l_quantity")
+    baseline = build_numeric_baseline(base, ["l_quantity"])
+    res = analyze_drift_against_baseline(cur, baseline)
+    row = res["columns"][0]
+    return spark.createDataFrame(
+        [(row["column"], round(row["psi"], 6), row["psi_severity"])],
+        "column_name string, psi double, psi_severity string",
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q1-shaped aggregation — wide grouped agg, map-side combine.
     li = _t(spark, sf_dir, "lineitem")
@@ -311,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_counts": q_outlier_counts,
         "histogram": q_histogram,
         "pii_flags": q_pii_flags,
+        "drift_psi": q_drift_psi,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "running_window": q_running_window,
@@ -358,6 +379,36 @@ _TEXT_STATS_SQL = rf"""
         + (1.0 - least((n_digit::DOUBLE / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.1
       , 6) AS quality
     FROM m
+"""
+
+_DRIFT_PSI_SQL = r"""
+    WITH b AS (SELECT l_quantity AS x FROM lineitem WHERE l_orderkey % 2 = 0),
+    c AS (SELECT l_quantity AS x FROM lineitem WHERE l_orderkey % 2 = 1),
+    s AS (SELECT min(x)::DOUBLE AS lo, max(x)::DOUBLE AS hi FROM b),
+    bb AS (SELECT least(CAST(x >= lo + (hi-lo)/5*1 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*2 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*3 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*4 AS INT), 4) AS bin
+           FROM b, s WHERE x >= lo AND x <= hi),
+    cb AS (SELECT least(CAST(x >= lo + (hi-lo)/5*1 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*2 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*3 AS INT)
+                      + CAST(x >= lo + (hi-lo)/5*4 AS INT), 4) AS bin
+           FROM c, s WHERE x >= lo AND x <= hi),
+    bins AS (SELECT unnest(generate_series(0, 4)) AS bin),
+    qv AS (SELECT bins.bin, coalesce(t.cnt, 0)::DOUBLE / (SELECT count(*) FROM bb) AS q
+           FROM bins LEFT JOIN (SELECT bin, count(*) AS cnt FROM bb GROUP BY 1) t USING (bin)),
+    pv AS (SELECT bins.bin, coalesce(t.cnt, 0)::DOUBLE / (SELECT count(*) FROM cb) AS p
+           FROM bins LEFT JOIN (SELECT bin, count(*) AS cnt FROM cb GROUP BY 1) t USING (bin)),
+    psi_val AS (
+      SELECT sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+                 * ln(greatest(p, 1e-6) / greatest(q, 1e-6))) AS psi
+      FROM qv JOIN pv USING (bin))
+    SELECT 'l_quantity' AS column_name, round(psi, 6) AS psi,
+           CASE WHEN psi < 0.10 THEN 'none'
+                WHEN psi < 0.25 THEN 'moderate'
+                ELSE 'severe' END AS psi_severity
+    FROM psi_val
 """
 
 _LANG_ID_SQL = r"""
@@ -464,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
                 pii_col(c) for c in ["synth_account", "synth_contact", "text"]
             )
         ),
+        "drift_psi": _DRIFT_PSI_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -34,6 +34,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # sequences rows scaled to the testdata sf (sf0.1 → 200k rows ≈ 51M tokens)
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1] or "0.1")
 N_ROWS = int(os.environ.get("BENCH_ROWS", str(max(20_000, int(2_000_000 * _SF)))))
+MEAN_TOKENS = float(os.environ.get("BENCH_MEAN_TOKENS", "256"))
 
 
 def run_maintenance(spark) -> dict:
@@ -50,25 +51,32 @@ def run_maintenance(spark) -> dict:
     shutil.rmtree(root, ignore_errors=True)
 
     t = IceMiniTable.create(spark, root)
-    # small-files layout: ~80 files so compaction has real packing work
-    t.append(generate_sequences(spark, N_ROWS), target_file_rows=max(N_ROWS // 80, 1))
+    # small-files layout: ~160 files so compaction has real packing
+    # work (>=3 member files per 1/48-of-total bin)
+    t.append(generate_sequences(spark, N_ROWS, mean_tokens=MEAN_TOKENS), target_file_rows=max(N_ROWS // 160, 1))
     spark.sparkContext.setJobGroup("bench", "maintenance")
 
-    # file-size targets scaled so the run produces ~3 output files per
-    # core (one output file = one write task — parallelism is capped at
-    # the file count, for compaction here exactly as for Iceberg's
-    # RewriteDataFiles); a real cluster would use 128-512 MB files with
-    # the same code path
-    est_bytes = N_ROWS * 563  # ≈ zstd bytes/row at mean 256 tokens
-    target_bytes = max(8 * 1024 * 1024, est_bytes // (3 * CPUS))
+    # file-size targets are a function of the DATA ONLY (actual bytes
+    # from the manifest, ≈48 compacted outputs regardless of
+    # parallelism) so runs at different core counts do identical work —
+    # the scaling-efficiency comparison depends on it. One output file
+    # = one write task; a real cluster would use 128-512 MB files with
+    # the same code path.
+    total_bytes = sum(e.size_bytes for e in t.live_entries())
+    target_bytes = max(16 * 1024 * 1024, total_bytes // 48)
     t0 = time.time()
-    compact_table(t, target_bytes=target_bytes, quality_gate=True)
+    compact_table(
+        t,
+        target_bytes=target_bytes,
+        small_file_bytes=target_bytes,  # every append-sized file packs
+        quality_gate=True,
+    )
     t1 = time.time()
     cluster_table(
-        t, method="zorder", target_rows_per_file=max(5_000, N_ROWS // (3 * CPUS))
+        t, method="zorder", target_rows_per_file=max(5_000, N_ROWS // 96)
     )
     t2 = time.time()
-    merge_into(t, generate_merge_batch(spark, N_ROWS, insert_rows=N_ROWS // 10))
+    merge_into(t, generate_merge_batch(spark, N_ROWS, insert_rows=N_ROWS // 10, mean_tokens=MEAN_TOKENS))
     t3 = time.time()
     t.expire_snapshots(keep_last=1)
     t4 = time.time()
