@@ -198,11 +198,15 @@ def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact quadratic oracle path — capped to a fixed 500-doc slice so
+    # the benched cost is scale-invariant (the full set is a no-op at
+    # sf0.01; the scale path for full corpora is minhash_dedup).
     from datalakequality_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", threshold=0.6, k=3
+    capped = _docs_with_planted_dups(spark, sf_dir).where(
+        (F.col("doc_id") < 500) | (F.col("doc_id") >= 1_000_000)
     )
+    return ngram_jaccard_pairs(capped, "doc_id", "text", threshold=0.6, k=3)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +364,9 @@ _TEXT_STATS_SQL = rf"""
              len(text) AS n_chars
       FROM documents
     ), m AS (
-      SELECT doc_id, n_chars, len(toks) AS n_tokens,
+      -- empty text → 0 tokens (engine tokens_of semantics)
+      SELECT doc_id, n_chars,
+             CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
              len(list_filter(toks, x -> list_contains({_EN_STOP}, x))) AS stop_hits,
              len(regexp_extract_all(text, '[!-/:-@\[-`{{-~]')) AS n_punct,
              len(regexp_extract_all(text, '\d')) AS n_digit
@@ -552,7 +558,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": r"""
             WITH docs2 AS (
-              SELECT doc_id, text FROM documents
+              SELECT doc_id, text FROM documents WHERE doc_id < 500
               UNION ALL
               SELECT doc_id + 1000000, text || ' near duplicate suffix'
               FROM documents WHERE doc_id < 20
@@ -585,8 +591,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_stats": _TEXT_STATS_SQL,
         "token_counts": r"""
+            -- empty/whitespace-only text → 0 tokens, matching the
+            -- engine's tokens_of (plain split would yield [''] → 1)
             SELECT doc_id,
-                   len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_ws_tokens,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   END AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}'))
                       + len(regexp_extract_all(text, '\d'))
                       + len(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))

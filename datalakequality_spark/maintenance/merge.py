@@ -50,7 +50,9 @@ def merge_into(
     # expensive upstream plan would otherwise recompute each time
     source = source.dropDuplicates([key])
     if salt_partitions:
-        source = source.repartition(salt_partitions, F.xxhash64(key, F.rand()))
+        # deterministic salt — xxhash64(key, seed) spreads near-unique
+        # keys evenly without breaking run-to-run reproducibility
+        source = source.repartition(salt_partitions, F.xxhash64(key, F.lit(42)))
     source = source.persist()
 
     entries = table.live_entries()

@@ -50,20 +50,25 @@ class AutofixOptions:
 
 def _numeric_quantiles(
     df: DataFrame, cols: list[str], exact: bool, fill_first: bool
-) -> dict[str, tuple[float | None, float | None, float | None]]:
-    """(q1, median, q3) per column. The reference clips using quantiles
-    of the ALREADY median-imputed series (main.py:149-165 fills first),
-    so with ``fill_first`` this is two batched aggregation passes:
-    medians, then q1/q3 over ``coalesce(x, median)``. One pass
-    otherwise. NaNs normalized to NULL to match pandas dropna."""
+) -> tuple[dict[str, tuple[float | None, float | None, float | None]], dict[str, int]]:
+    """((q1, median, q3) per column, null-count per column). The
+    reference clips using quantiles of the ALREADY median-imputed
+    series (main.py:149-165 fills first), so with ``fill_first`` this is
+    two batched aggregation passes: medians + null counts, then q1/q3
+    over ``coalesce(x, median)``. NaNs normalized to NULL to match
+    pandas dropna; the null counts decide whether a column needs the
+    int→double promotion pandas applies to NaN-bearing int columns."""
     if not cols:
-        return {}
+        return {}, {}
     fn = "percentile" if exact else "percentile_approx"
     med_aggs = [
         F.expr(f"{fn}(nanvl(`{c}`, null), 0.5D)").alias(f"m::{c}") for c in cols
+    ] + [
+        F.expr(f"count(*) - count(nanvl(`{c}`, null))").alias(f"n::{c}") for c in cols
     ]
     mrow = df.agg(*med_aggs).collect()[0].asDict()
     meds = {c: mrow[f"m::{c}"] for c in cols}
+    nulls = {c: int(mrow[f"n::{c}"]) for c in cols}
 
     q_aggs = []
     for c in cols:
@@ -77,7 +82,7 @@ def _numeric_quantiles(
     for c in cols:
         q = qrow[f"q::{c}"]
         out[c] = (q[0], meds[c], q[1]) if q is not None else (None, meds[c], None)
-    return out
+    return out, nulls
 
 
 def _column_mode(df: DataFrame, col: str) -> Any | None:
@@ -111,12 +116,12 @@ def apply_autofix(
     str_cols = string_columns(df)
 
     # --- stats passes (batched) ------------------------------------------
-    quantiles = (
+    quantiles, null_counts = (
         _numeric_quantiles(
             df, num_cols, opt.exact_quantiles, opt.fill_numeric_missing
         )
         if (opt.fill_numeric_missing or opt.clip_outliers)
-        else {}
+        else ({}, {})
     )
     modes = (
         {c: _column_mode(df, c) for c in str_cols}
@@ -131,8 +136,16 @@ def apply_autofix(
         qc = F.col(c)
         if c in set(num_cols):
             q1, med, q3 = quantiles.get(c, (None, None, None))
-            if opt.fill_numeric_missing and med is not None:
-                qc = F.coalesce(qc, F.lit(med).cast(dict(df.dtypes)[c]))
+            if (
+                opt.fill_numeric_missing
+                and med is not None
+                and null_counts.get(c, 0) > 0
+            ):
+                # pandas promotes a NaN-bearing int column to float64 and
+                # fills the (often fractional) interpolated median — so
+                # fill the DOUBLE median, never truncate to the int type;
+                # columns without nulls keep their type (fillna no-op)
+                qc = F.coalesce(qc.cast("double"), F.lit(float(med)))
             if opt.clip_outliers and q1 is not None and q3 is not None:
                 # clip bounds computed on the already-imputed series in the
                 # reference too (main.py:155-165 runs after fillna)
@@ -152,12 +165,16 @@ def apply_autofix(
                 if "phone" in lower or "mobile" in lower:
                     qc = F.regexp_replace(qc, PHONE_MASK_RE, "*")
         if opt.parse_dates and "date" in c.lower():
-            parsed = F.date_format(F.to_timestamp(qc.cast("string")), "yyyy-MM-dd")
-            # reference skips the column when parsing raises; best-effort
-            # equivalent: keep original when the parse fails
-            qc = F.coalesce(parsed, qc.cast("string")) if c in set(str_cols) else (
-                F.coalesce(parsed, qc.cast("string"))
-            )
+            # reference (main.py:176-183) runs pd.to_datetime on ANY
+            # date-named column and emits %Y-%m-%d strings, skipping the
+            # column when parsing raises; best-effort equivalent: the
+            # column becomes string, original value kept per-row when
+            # the parse fails (incl. non-string date-named columns,
+            # whose values are stringified rather than epoch-decoded)
+            # try_to_timestamp: NULL on malformed input (plain
+            # to_timestamp THROWS under Spark 4's ANSI default)
+            parsed = F.date_format(F.try_to_timestamp(qc.cast("string")), "yyyy-MM-dd")
+            qc = F.coalesce(parsed, qc.cast("string"))
         exprs.append(qc.alias(c))
     return df.select(*exprs)
 
@@ -286,7 +303,7 @@ def build_autofix_plan(
                 "description": "Parse DATE_COLUMNS and format as ISO strings; unparseable values keep their original text.",
                 "code": (
                     "for c in DATE_COLUMNS:\n"
-                    "    iso = F.date_format(F.to_timestamp(F.col(c).cast('string')),\n"
+                    "    iso = F.date_format(F.try_to_timestamp(F.col(c).cast('string')),\n"
                     "                        \"yyyy-MM-dd'T'HH:mm:ss\")\n"
                     "    df = df.withColumn(c, F.coalesce(iso, F.col(c).cast('string')))\n"
                 ),

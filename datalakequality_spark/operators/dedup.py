@@ -78,28 +78,82 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
 
 
 _MAX_LONG = (1 << 63) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
-def minhash_signature(col: Column, num_perm: int = 64, k: int = 3) -> Column:
-    """num_perm-wide MinHash signature computed entirely map-side:
-    sig[i] = min over shingles of xxhash64(shingle, i).
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded universal-hash parameters (a, b) for h_i(x) = (a_i·x + b_i)
+    mod 2³¹−1. a, x < 2³¹ keeps a·x+b inside uint64 — branch-free numpy."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
+    return a, b
 
-    Implemented as ONE ``aggregate`` fold over the shingle array with an
-    array accumulator — the shingle set is materialized once per row
-    (64 separate array_min(transform(...)) expressions would inline and
-    recompute the shingling per permutation, a 64× blowup Catalyst does
-    not eliminate). NB: single-arg lambdas only — a two-arg lambda makes
-    Spark bind the second parameter to the array index."""
-    sh = word_shingles(col, k)
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
-    return F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc, perms, lambda m, i: F.least(m, F.xxhash64(s, i))
-        ),
-    )
+
+def minhash_signature(
+    col: Column, num_perm: int = 64, k: int = 3, impl: str = "arrow"
+) -> Column:
+    """num_perm-wide MinHash signature computed entirely map-side.
+
+    ``impl="arrow"`` (default, the bench winner): shingles are hashed to
+    64 bits JVM-side (one xxhash64 per shingle), then ONE Arrow
+    pandas_udf derives all permutations with universal hashing —
+    sig[i] = min over shingles of (a_i·h + b_i) mod 2³¹−1 — as a single
+    ``minimum.reduceat`` over the whole batch. Catalyst never sees an
+    O(num_perm) expression tree, and the numpy inner loop is ~C speed.
+
+    ``impl="expr"`` keeps the pure-JVM fold: ONE ``aggregate`` over the
+    shingle array with an array accumulator, sig[i] = min xxhash64(s, i)
+    (64 separate array_min(transform(...)) exprs would inline and
+    recompute the shingling per permutation — a 64× blowup Catalyst
+    does not eliminate). Correct but interpreter-bound at ~num_perm ×
+    #shingles expression evaluations per row.
+
+    Rows with no shingles get the sentinel all-_MAX_LONG signature in
+    both impls (callers filter empty shingle sets before LSH anyway).
+    """
+    if impl == "expr":
+        sh = word_shingles(col, k)
+        perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+        init = F.array_repeat(F.lit(_MAX_LONG), num_perm)
+        return F.aggregate(
+            sh,
+            init,
+            lambda acc, s: F.zip_with(
+                acc, perms, lambda m, i: F.least(m, F.xxhash64(s, i))
+            ),
+        )
+
+    a, b = _minhash_params(num_perm)
+    m31 = np.uint64(_MERSENNE31)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hashes: pd.Series) -> pd.Series:
+        lens = hashes.map(len).to_numpy(dtype=np.int64)
+        out = np.full((len(hashes), num_perm), _MAX_LONG, dtype=np.int64)
+        nz_idx = np.flatnonzero(lens)
+        # chunk by shingle count so the (shingles × num_perm) working
+        # matrix stays ~tens of MB regardless of Arrow batch size
+        chunk_budget = 1 << 17
+        start = 0
+        while start < nz_idx.size:
+            end, tot = start, 0
+            while end < nz_idx.size and (tot == 0 or tot + lens[nz_idx[end]] <= chunk_budget):
+                tot += lens[nz_idx[end]]
+                end += 1
+            rows = nz_idx[start:end]
+            concat = np.concatenate(
+                [np.asarray(hashes.iat[i], dtype=np.int64) for i in rows]
+            ).view(np.uint64)
+            vals = ((concat % m31)[:, None] * a[None, :] + b[None, :]) % m31
+            offsets = np.zeros(rows.size, dtype=np.int64)
+            np.cumsum(lens[rows][:-1], out=offsets[1:])
+            out[rows] = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
+            start = end
+        return pd.Series(list(out))
+
+    shingle_hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
+    return _sig(shingle_hashes)
 
 
 def minhash_dedup_pairs(
@@ -175,11 +229,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     k: int = 3,
+    max_docs: int | None = 20_000,
 ) -> DataFrame:
     """EXACT pairwise Jaccard over word k-gram shingles — shingle
     explode + self-join + per-pair intersection count. Quadratic in
     co-bucketed docs; this is the oracle/verification path, the scale
-    path is minhash_dedup_pairs."""
+    path is minhash_dedup_pairs.
+
+    ``max_docs`` guards the quadratic blowup: inputs above it raise
+    (pass ``max_docs=None`` to force an unbounded run). The default of
+    20k docs bounds the candidate space at ~2×10⁸ comparisons."""
+    if max_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the exact QUADRATIC oracle path and got "
+                f"{n_docs} docs (> max_docs={max_docs}). Use minhash_dedup_pairs "
+                f"for large corpora, or pass max_docs=None to force."
+            )
     sh = df.select(
         F.col(id_col).alias("__id"), word_shingles(F.col(text_col), k).alias("__sh")
     ).where(F.size("__sh") > 0)
@@ -289,29 +356,42 @@ def simhash_dup_pairs(
 # ------------------------------------------------------- embedding near-dups
 
 
-def _plane_literals(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Seeded random hyperplanes, shared by the bucket UDF and by
+    driver-side query bucketing (similarity.ann_topk)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
-
-
-def _dot(vec: Column, plane: list[float]) -> Column:
-    arr = F.array(*[F.lit(float(x)) for x in plane])
-    return F.aggregate(
-        F.zip_with(vec, arr, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return rng.standard_normal((n_planes, dim))
 
 
 def embedding_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane LSH bucket id (sign bits packed to a long);
-    deterministic via seeded plane generation."""
-    planes = _plane_literals(n_planes, dim, seed)
-    bits = [
-        (F.when(_dot(vec, p) > 0, F.lit(1)).otherwise(F.lit(0)) * (1 << i))
-        for i, p in enumerate(planes)
-    ]
-    return sum(bits[1:], bits[0]).cast("long")
+    deterministic via seeded plane generation.
+
+    One Arrow pandas_udf computes sign(X @ P.T) bit-packed for the whole
+    batch — the planes live in the UDF closure, so the Catalyst plan
+    carries ZERO plane literals and the cost is one (batch × dim) @
+    (dim × n_planes) BLAS matmul. (The previous expression-tree variant
+    inlined O(n_planes × dim) literals + per-plane aggregate folds,
+    which blows up the plan at real embedding dims of 768–4096.)"""
+    if not 0 < n_planes <= 62:
+        raise ValueError("n_planes must be in 1..62 to pack into a long")
+    planes_t = lsh_planes(n_planes, dim, seed).T  # (dim, n_planes)
+    weights = np.left_shift(np.uint64(1), np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        out = np.empty(n, dtype=np.int64)
+        vals = vs.to_numpy()
+        # chunk rows so the dense X matrix stays ~32 MB even at dim=4096
+        step = max(1, (1 << 22) // max(dim, 1))
+        for s in range(0, n, step):
+            X = np.vstack([np.asarray(v, dtype=np.float64) for v in vals[s : s + step]])
+            bits = (X @ planes_t) > 0
+            out[s : s + step] = (bits * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
+
+    return _bucket(vec)
 
 
 def embedding_dup_pairs(

@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _plane_literals, embedding_lsh_bucket
+from .dedup import embedding_lsh_bucket, lsh_planes
 
 
 def _lit_array(vals: list[float]) -> Column:
@@ -76,11 +76,9 @@ def ann_topk(
     of the recall LSH loses); exact cosine re-ranks the candidates.
     """
     dim = len(query)
-    planes = _plane_literals(n_planes, dim, seed)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(query, p)) > 0:
-            qbits |= 1 << i
+    planes = lsh_planes(n_planes, dim, seed)
+    signs = (planes @ np.asarray(query, dtype=np.float64)) > 0
+    qbits = int((signs << np.arange(n_planes)).sum())
 
     bucketed = df.select(
         F.col(id_col),

@@ -235,7 +235,12 @@ def parquet_null_counts(paths: list[str], column: str) -> dict[str, int]:
                     total = None
                     break
                 total += st.null_count
-        out[p] = total if total is not None else -1  # -1 → unknown
+        if total is None:
+            # a file without row-group stats (rare — Spark always writes
+            # them) must NOT silently pass the null gate: fall back to an
+            # exact count by reading just this column of this file
+            total = pq.read_table(p, columns=[column]).column(0).null_count
+        out[p] = total
     return out
 
 

@@ -238,6 +238,7 @@ class IceMiniTable:
         quarantine: list[dict[str, Any]] | None = None,
         base_version: int | None = None,
         max_retries: int = 20,
+        summary_extra: dict[str, Any] | None = None,
     ) -> Snapshot:
         """Optimistic commit: new snapshot = parent − removed + added.
 
@@ -245,6 +246,10 @@ class IceMiniTable:
         If a concurrent commit removed any of them, raise CommitConflict
         instead of silently committing over rewritten data — this is the
         Iceberg conflict-detection behavior the north_star requires.
+
+        ``summary_extra`` lands INSIDE the atomic snapshot write (e.g.
+        the streaming sink's epoch_id) — there is no window where the
+        snapshot exists without its tags.
         """
         removed = set(removed_paths)
         required = set(required_paths) | removed
@@ -284,6 +289,7 @@ class IceMiniTable:
                     "total_files": len(live),
                     "total_rows": sum(e.rows for e in live),
                     "total_tokens": sum(e.token_count for e in live),
+                    **(summary_extra or {}),
                 },
                 quarantine=quarantine or [],
                 timestamp_ms=int(time.time() * 1000),

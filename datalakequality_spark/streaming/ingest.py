@@ -24,9 +24,20 @@ from ..sources.icemini import IceMiniTable
 
 
 class IceMiniStreamSink:
+    """foreachBatch sink with O(1) per-batch epoch bookkeeping.
+
+    The epoch id is committed ATOMICALLY inside the snapshot summary
+    (``commit(summary_extra=...)``) — no post-commit rewrite, so a crash
+    can never leave a committed-but-untagged snapshot that would replay
+    as a duplicate. Committed epochs are scanned from table metadata
+    ONCE per sink lifetime (on the first batch) and tracked in memory
+    after that — per-batch cost is a set lookup, flat over the stream's
+    lifetime instead of O(#snapshots) per micro-batch."""
+
     def __init__(self, table: IceMiniTable, target_file_rows: int | None = None):
         self.table = table
         self.target_file_rows = target_file_rows
+        self._epochs: set[int] | None = None  # lazily built, then cached
 
     def _committed_epochs(self) -> set[int]:
         return {
@@ -36,7 +47,11 @@ class IceMiniStreamSink:
         }
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id in self._committed_epochs():
+        if self._epochs is None:
+            # one metadata scan per (re)started stream — a restart after
+            # a crash rebuilds the set and sees every landed epoch
+            self._epochs = self._committed_epochs()
+        if epoch_id in self._epochs:
             return  # replayed epoch whose commit already landed
         df = batch_df
         if self.target_file_rows:
@@ -45,20 +60,10 @@ class IceMiniStreamSink:
                 return
             df = df.repartition(max(1, -(-n // self.target_file_rows)))
         entries = self.table.write_data_files(df)
-        snap = self.table.commit("stream-append", added=entries)
-        # tag the snapshot with the epoch for replay detection
-        import json
-        import os
-
-        path = os.path.join(
-            self.table.meta_dir, f"v{snap.snapshot_id}.metadata.json"
+        self.table.commit(
+            "stream-append", added=entries, summary_extra={"epoch_id": epoch_id}
         )
-        meta = json.load(open(path))
-        meta["summary"]["epoch_id"] = epoch_id
-        tmp = f"{path}.tmp-epoch"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.rename(tmp, path)
+        self._epochs.add(epoch_id)
 
 
 def stream_append(

@@ -116,3 +116,40 @@ def test_build_autofix_plan(messy_sdf):
     assert "sha2" not in script
     assert "percentile" in script and "OUTPUT_PATH" in script
     compile(script, "autofix_script", "exec")  # generated script must parse
+
+
+def test_int_median_promotes_to_double(spark):
+    """pandas promotes NaN-bearing int columns to float64 and fills the
+    fractional interpolated median — no int truncation (ADVICE fix)."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (5,), (8,)], "v int"
+    )
+    opt = AutofixOptions(clip_outliers=False, parse_dates=False, mask_pii=False)
+    got = apply_autofix(df, opt).toPandas()["v"]
+    # median of [1,2,5,8] = (2+5)/2 = 3.5 — fractional, must survive
+    assert sorted(got) == [1.0, 2.0, 3.5, 5.0, 8.0]
+    # pandas oracle agrees
+    pdf = pd.Series([1, 2, np.nan, 5, 8])
+    assert sorted(pdf.fillna(pdf.median())) == sorted(got)
+
+
+def test_int_without_nulls_keeps_type(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v int")
+    opt = AutofixOptions(clip_outliers=False, parse_dates=False, mask_pii=False)
+    out = apply_autofix(df, opt)
+    assert dict(out.dtypes)["v"] == "int"  # fillna no-op → no promotion
+
+
+def test_date_parse_non_string_column(spark):
+    """A date-named NUMERIC column is stringified; values that don't
+    parse as timestamps keep their (stringified) original value."""
+    df = spark.createDataFrame(
+        [(20240101,), (None,)], "date_code long"
+    )
+    opt = AutofixOptions(
+        fill_numeric_missing=False, clip_outliers=False, mask_pii=False
+    )
+    out = apply_autofix(df, opt)
+    assert dict(out.dtypes)["date_code"] == "string"
+    vals = [r["date_code"] for r in out.collect()]
+    assert vals == ["20240101", None]

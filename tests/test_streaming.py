@@ -50,3 +50,41 @@ def test_windowed_counts_plan(spark):
     agg = windowed_counts(stream, "ts", "10 seconds", "20 seconds", ["k"])
     assert agg.isStreaming
     assert "window" in agg.columns and "n_rows" in agg.columns
+
+
+def test_many_microbatches_flat_epoch_cost(spark, tmp_path):
+    """50 micro-batches: epoch bookkeeping reads table metadata ONCE per
+    stream lifetime (not O(#snapshots) per batch), and every epoch lands
+    atomically inside its snapshot's summary."""
+    import time
+
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    scans = {"n": 0}
+    orig_snapshots = t.snapshots
+    t.snapshots = lambda: (scans.__setitem__("n", scans["n"] + 1), orig_snapshots())[1]
+
+    src_dir = str(tmp_path / "incoming")
+    for b in range(50):
+        generate_sequences(spark, 10, start_id=b * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(SEQUENCES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    t0 = time.time()
+    q = stream_append(stream, t, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(600)
+    wall = time.time() - t0
+
+    scans_during_stream = scans["n"]
+    t.snapshots = orig_snapshots
+    stream_snaps = [s for s in t.snapshots() if s.operation == "stream-append"]
+    assert len(stream_snaps) == 50
+    assert all("epoch_id" in s.summary for s in stream_snaps)
+    assert t.scan().count() == 500
+    # the O(1) mechanism itself: one metadata scan for 50 commits
+    assert scans_during_stream == 1, scans_during_stream
+    # informational: flat per-batch cost → 50 batches in bounded wall time
+    assert wall < 300

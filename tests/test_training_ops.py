@@ -231,3 +231,70 @@ def test_multimodal_frame_sampling(spark):
     meta = {r["id"]: r["media_meta"] for r in df.collect()}
     for i in (1, 2):
         assert counts[str(i)] == max(meta[i]["duration_ms"] // 10_000, 1)
+
+
+def test_embedding_lsh_high_dim(spark):
+    """dim=1024 — the vectorized pandas_udf path must keep the Catalyst
+    plan free of plane literals and still find planted near-dups."""
+    rng = np.random.default_rng(12)
+    dim = 1024
+    vecs = rng.standard_normal((40, dim))
+    rows = [(i, vecs[i].tolist()) for i in range(40)]
+    rows += [
+        (100 + i, (vecs[i] + rng.standard_normal(dim) * 0.005).tolist())
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    lsh = embedding_dup_pairs(
+        df, "id", "v", dim=dim, threshold=0.99, n_planes=12, brute_force=False
+    )
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    assert len({(i, 100 + i) for i in range(5)} & got) >= 4
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(
+            df, "id", "v", dim=dim, threshold=0.99, brute_force=True
+        ).collect()
+    }
+    assert got <= brute  # LSH may lose recall, never precision
+
+
+def test_ann_topk_high_dim_matches_brute(spark):
+    rng = np.random.default_rng(13)
+    dim = 1024
+    vecs = rng.standard_normal((150, dim))
+    for i in range(1, 4):
+        vecs[i] = vecs[0] + rng.standard_normal(dim) * 0.05
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(150)], "id long, v array<double>"
+    )
+    q = vecs[0].tolist()
+    approx = [r["id"] for r in ann_topk(df, "id", "v", q, k=4, max_hamming=3).collect()]
+    exact = [r["id"] for r in cosine_topk(df, "id", "v", q, k=4).collect()]
+    assert approx[0] == exact[0] == 0
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_ngram_jaccard_guard(spark, corpus):
+    with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+        ngram_jaccard_pairs(corpus, "doc_id", "text", max_docs=10).collect()
+    # explicit opt-out runs unbounded
+    assert ngram_jaccard_pairs(corpus, "doc_id", "text", max_docs=None).count() > 0
+
+
+def test_minhash_impls_agree_on_planted_pairs(spark, corpus):
+    """arrow (default) and expr MinHash paths use different hash families
+    but must both recover the planted near-dups via LSH."""
+    from datalakequality_spark.operators.dedup import minhash_signature
+
+    planted = {(i, 1000 + i) for i in range(20)}
+    for impl in ("arrow", "expr"):
+        sig = corpus.select(
+            "doc_id", minhash_signature(F.col("text"), 32, 3, impl=impl).alias("s")
+        )
+        assert sig.where(F.size("s") != 32).count() == 0
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.6).collect()
+    }
+    assert len(got & planted) >= 18
