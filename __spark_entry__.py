@@ -172,6 +172,73 @@ def q_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autofix_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 (median impute) + A2 (IQR clip on the imputed series) end to
+    # end through the real operator; nulls planted deterministically so
+    # the impute path is exercised (events.value has none natively).
+    # Reference semantics: backend/app/main.py:146-165.
+    from datalakequality_spark.operators.autofix import AutofixOptions, apply_autofix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    fixed = apply_autofix(
+        ev,
+        AutofixOptions(
+            fill_categorical_missing=False, parse_dates=False, mask_pii=False
+        ),
+    )
+    return fixed.select(
+        "event_id", F.round(F.col("value").cast("double"), 6).alias("fixed_value")
+    )
+
+
+def q_contract_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C5 — contract suggestion inputs: required = missing_ratio < 0.5,
+    # unique-key candidate = non-null distinct == row count (reference
+    # backend/app/core/contracts.py:114-155). Nulls planted on `value`
+    # so the required/unique flags vary across columns.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    )
+    total = F.count(F.lit(1))
+    parts = []
+    for c in ["event_id", "event_type", "user_id", "value"]:
+        parts.append(
+            ev.agg(
+                F.lit(c).alias("column_name"),
+                F.round((total - F.count(c)) / total, 6).alias("missing_ratio"),
+                ((total - F.count(c)) / total < 0.5).cast("int").alias("is_required"),
+                (F.countDistinct(c) == total).cast("int").alias("is_unique_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # grouping-sets surface (SURVEY §2.11): ROLLUP over
+    # (l_returnflag, l_linestatus) with subtotal rows tagged by
+    # grouping id — one shuffle, map-side partial aggregation.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 # ----------------------------------------------- training-data pipeline ops
 
 
@@ -339,6 +406,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "running_window": q_running_window,
+        "autofix_numeric": q_autofix_numeric,
+        "contract_suggest": q_contract_suggest,
+        "rollup_revenue": q_rollup_revenue,
         "dedup_exact_stats": q_dedup_exact_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
@@ -546,6 +616,55 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                    AS running_value
             FROM events
+        """,
+        "autofix_numeric": """
+            WITH ev AS (SELECT event_id,
+                               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+                        FROM events),
+            s AS (SELECT quantile_cont(value, 0.5) AS med FROM ev),
+            f AS (SELECT event_id, coalesce(value, med) AS v FROM ev, s),
+            q AS (SELECT quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3 FROM f)
+            SELECT event_id,
+                   round(CASE WHEN q3 - q1 = 0 THEN v
+                              ELSE least(greatest(v, q1 - 1.5 * (q3 - q1)),
+                                         q3 + 1.5 * (q3 - q1)) END, 6) AS fixed_value
+            FROM f, q
+        """,
+        "contract_suggest": """
+            WITH ev AS (SELECT event_id, event_type, user_id,
+                               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+                        FROM events)
+            SELECT 'event_id' AS column_name,
+                   round((count(*) - count(event_id))::DOUBLE / count(*), 6) AS missing_ratio,
+                   CAST((count(*) - count(event_id))::DOUBLE / count(*) < 0.5 AS INT) AS is_required,
+                   CAST(count(DISTINCT event_id) = count(*) AS INT) AS is_unique_key
+            FROM ev
+            UNION ALL
+            SELECT 'event_type',
+                   round((count(*) - count(event_type))::DOUBLE / count(*), 6),
+                   CAST((count(*) - count(event_type))::DOUBLE / count(*) < 0.5 AS INT),
+                   CAST(count(DISTINCT event_type) = count(*) AS INT)
+            FROM ev
+            UNION ALL
+            SELECT 'user_id',
+                   round((count(*) - count(user_id))::DOUBLE / count(*), 6),
+                   CAST((count(*) - count(user_id))::DOUBLE / count(*) < 0.5 AS INT),
+                   CAST(count(DISTINCT user_id) = count(*) AS INT)
+            FROM ev
+            UNION ALL
+            SELECT 'value',
+                   round((count(*) - count(value))::DOUBLE / count(*), 6),
+                   CAST((count(*) - count(value))::DOUBLE / count(*) < 0.5 AS INT),
+                   CAST(count(DISTINCT value) = count(*) AS INT)
+            FROM ev
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "dedup_exact_stats": """
             WITH docs2 AS (SELECT text FROM documents

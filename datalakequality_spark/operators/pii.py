@@ -43,20 +43,35 @@ def detect_pii(
     df: DataFrame,
     columns: list[str] | None = None,
     sample_rows: int | None = None,
+    sample_seed: int | None = None,
 ) -> dict[str, Any]:
     """Full-scan PII detection over string columns.
 
     Returns the reference's result shape:
     ``{"pii_columns": [{"column", "detected_types"}], "pii_column_count",
     "has_pii"}``.
+
+    ``sample_rows`` caps the scan like the reference's 200-row sample
+    (pii.py:12,27). With ``sample_seed`` the cap is a deterministic
+    pseudo-random ROW sample (seeded row-hash TakeOrdered — no full
+    sort); without it, a plain prefix limit. Documented deviation: the
+    reference samples each COLUMN independently with random_state=42;
+    the row-level sample is the Spark-native equivalent (one pass, one
+    sample for all columns) and coincides when columns share null
+    positions. The full-scan default is a strict superset detector.
     """
     cols = columns if columns is not None else string_columns(df)
     if not cols:
         return {"pii_columns": [], "pii_column_count": 0, "has_pii": False}
 
     if sample_rows is not None:
-        # deterministic prefix sample (parity-experiment knob only)
-        df = df.limit(sample_rows)
+        if sample_seed is not None:
+            row_hash = F.xxhash64(
+                F.struct(*[F.col(c) for c in cols]), F.lit(sample_seed)
+            )
+            df = df.orderBy(row_hash).limit(sample_rows)
+        else:
+            df = df.limit(sample_rows)
 
     aggs = []
     for c in cols:

@@ -251,3 +251,42 @@ def test_schema_change_lifecycle(messy_sdf):
     no_pii_base = {k: {**v, "has_pii": False, "pii_types": []} for k, v in current.items()}
     r4, _ = detect_schema_changes(prof, pii, baseline=no_pii_base)
     assert r4["is_breaking"] and r4["pii_changes"]
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    """Reference-parity CSV I/O: header'd export, nulls as empty string,
+    schema'd re-read recovers the exact frame."""
+    from pyspark.sql import functions as F
+
+    from datalakequality_spark.sources.csvio import export_csv, read_csv_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, None), (3, "c", -2.0)],
+        "id int, name string, score double",
+    )
+    single = export_csv(df, str(tmp_path / "out.csv"), single_file=True)
+    back = read_csv_table(spark, single, schema="id int, name string, score double")
+    assert sorted(back.collect()) == sorted(df.collect())
+    # inferred-schema read recovers the 4-type logical system's types
+    inferred = read_csv_table(spark, single)
+    assert dict(inferred.dtypes) == {"id": "int", "name": "string", "score": "double"}
+    # distributed layout writes a directory of parts
+    multi = export_csv(df.repartition(2), str(tmp_path / "out_dir"))
+    back2 = read_csv_table(spark, multi, schema="id int, name string, score double")
+    assert back2.count() == 3
+
+
+def test_pii_seeded_sample(spark):
+    """Seeded sample: deterministic across runs, caps the scanned rows,
+    and still fires when PII density is high."""
+    from datalakequality_spark.operators.pii import detect_pii
+
+    rows = [(f"user{i}@example.com" if i % 2 else f"plain {i}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "contact string")
+    a = detect_pii(df, sample_rows=50, sample_seed=42)
+    b = detect_pii(df, sample_rows=50, sample_seed=42)
+    assert a == b  # deterministic
+    assert a["has_pii"] and a["pii_columns"][0]["detected_types"] == ["email"]
+    # different seed → still deterministic, possibly different rows
+    c = detect_pii(df, sample_rows=50, sample_seed=7)
+    assert c["has_pii"]
