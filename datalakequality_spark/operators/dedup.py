@@ -45,6 +45,18 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan has fewer partitions than cores —
+    a small table read from one parquet file would otherwise pin every
+    map-side UDF/shingle pass to a single task. A real warehouse-scale
+    input already has ≥cores partitions, so this is a no-op (no shuffle)
+    there."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -81,13 +93,13 @@ _MAX_LONG = (1 << 63) - 1
 _MERSENNE31 = (1 << 31) - 1
 
 
-def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded universal-hash parameters (a, b) for h_i(x) = (a_i·x + b_i)
-    mod 2³¹−1. a, x < 2³¹ keeps a·x+b inside uint64 — branch-free numpy."""
+def _minhash_params(num_perm: int, seed: int = 7) -> np.ndarray:
+    """Seeded ODD multipliers for multiply-shift hashing: h_i(x) =
+    (a_i·x mod 2⁶⁴) >> 33 — one wrap-around multiply + one shift per
+    (shingle, permutation), ~2× cheaper than mod-prime and still a
+    universal family (Dietzfelbinger multiply-shift)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE31, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE31, size=num_perm, dtype=np.uint64)
-    return a, b
+    return rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * 2 + 1
 
 
 def minhash_signature(
@@ -124,8 +136,15 @@ def minhash_signature(
             ),
         )
 
-    a, b = _minhash_params(num_perm)
-    m31 = np.uint64(_MERSENNE31)
+    shingle_hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
+    return minhash_signature_from_hashes(shingle_hashes, num_perm)
+
+
+def minhash_signature_from_hashes(hashes: Column, num_perm: int = 64) -> Column:
+    """Arrow-path signature over an existing array<long> of shingle
+    hashes — lets callers that also need the shingle set for exact
+    verification compute the (expensive) shingling exactly once."""
+    a = _minhash_params(num_perm)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(hashes: pd.Series) -> pd.Series:
@@ -145,15 +164,15 @@ def minhash_signature(
             concat = np.concatenate(
                 [np.asarray(hashes.iat[i], dtype=np.int64) for i in rows]
             ).view(np.uint64)
-            vals = ((concat % m31)[:, None] * a[None, :] + b[None, :]) % m31
+            # multiply-shift: wrap-around uint64 multiply, keep top 31
+            vals = (concat[:, None] * a[None, :]) >> np.uint64(33)
             offsets = np.zeros(rows.size, dtype=np.int64)
             np.cumsum(lens[rows][:-1], out=offsets[1:])
             out[rows] = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
             start = end
         return pd.Series(list(out))
 
-    shingle_hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
-    return _sig(shingle_hashes)
+    return _sig(hashes)
 
 
 def minhash_dedup_pairs(
@@ -175,11 +194,29 @@ def minhash_dedup_pairs(
     perms (r=4), P(candidate | j=0.7) ≈ 1−(1−0.7⁴)¹⁶ ≈ 0.99.
     """
     r = num_perm // bands
-    base = df.select(
+    df = _spread_small_input(df)
+    # shingle ONCE, as 64-bit hashes: the hash array serves BOTH the
+    # signature UDF and the exact-Jaccard verification (Jaccard over
+    # distinct shingle hashes ≡ Jaccard over shingles, collisions
+    # vanishingly unlikely), and an array<long> is far cheaper to
+    # persist/join than the shingle strings
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        word_shingles(F.col(text_col), k).alias("__sh"),
-        minhash_signature(F.col(text_col), num_perm, k).alias("__sig"),
+        F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "__sh"
+        ),
     ).where(F.size("__sh") > 0)
+    base = hashed.select(
+        "__id", "__sh", minhash_signature_from_hashes(F.col("__sh"), num_perm).alias("__sig")
+    )
+    # the frame feeds THREE plan branches (band explode + both sides of
+    # the verification join); persist EAGERLY — Spark's lazy cache fills
+    # per-partition, so concurrent downstream stages of one action would
+    # otherwise each recompute the signature UDF before the cache lands.
+    # At warehouse scale a pipeline would materialize signatures to a
+    # table, which this persist stands in for.
+    base = base.persist()
+    base.count()
 
     # all band hashes in ONE expression over the signature (16 separate
     # slice exprs would inline and re-evaluate the signature per band),
@@ -247,9 +284,11 @@ def ngram_jaccard_pairs(
                 f"{n_docs} docs (> max_docs={max_docs}). Use minhash_dedup_pairs "
                 f"for large corpora, or pass max_docs=None to force."
             )
-    sh = df.select(
+    sh = _spread_small_input(df).select(
         F.col(id_col).alias("__id"), word_shingles(F.col(text_col), k).alias("__sh")
     ).where(F.size("__sh") > 0)
+    sh = sh.persist()  # explode + sizes + two join sides reuse it
+    sh.count()
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     ex = sh.select("__id", F.explode("__sh").alias("s"))
     inter = (
@@ -314,9 +353,14 @@ def simhash_dup_pairs(
     within Hamming 3 of each other shares at least one of 4 disjoint
     16-bit blocks unchanged — pigeonhole) → bucket join → exact
     popcount filter via bit_count(xor)."""
-    base = df.select(
+    base = _spread_small_input(df).select(
         F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sh")
     )
+    # feeds both sides of the bucket self-join → eager persist so the
+    # token hashing + SimHash UDF runs once per row (lazy cache would
+    # race between the join's two scan stages)
+    base = base.persist()
+    base.count()
     blocks = base.select(
         "__id",
         "__sh",
@@ -415,13 +459,14 @@ def embedding_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
-    base = df.select(
+    base = _spread_small_input(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), norm.alias("__n")
     )
     if not brute_force:
         base = base.withColumn(
             "__b", embedding_lsh_bucket(F.col("__v"), dim, n_planes)
-        )
+        ).persist()  # both sides of the bucket self-join reuse it
+        base.count()
         joined = base.alias("a").join(
             base.alias("b"),
             (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") < F.col("b.__id")),
