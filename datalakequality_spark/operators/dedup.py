@@ -97,9 +97,95 @@ def _minhash_params(num_perm: int, seed: int = 7) -> np.ndarray:
     """Seeded ODD multipliers for multiply-shift hashing: h_i(x) =
     (a_i·x mod 2⁶⁴) >> 33 — one wrap-around multiply + one shift per
     (shingle, permutation), ~2× cheaper than mod-prime and still a
-    universal family (Dietzfelbinger multiply-shift)."""
+    universal family (Dietzfelbinger multiply-shift).
+
+    int64 on purpose: two's-complement wrap-around multiply is
+    bit-identical to uint64 multiply, and numpy 1.26 has a SIMD inner
+    loop for int64 multiply but only a ~50× slower scalar fallback for
+    uint64."""
     rng = np.random.default_rng(seed)
-    return rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64) * 2 + 1
+    with np.errstate(over="ignore"):
+        return rng.integers(0, 1 << 62, size=num_perm, dtype=np.int64) * 2 + 1
+
+
+def token_hashes(col: Column) -> Column:
+    """64-bit hash per whitespace token — the ONLY per-token JVM work
+    in the MinHash path. Crucially this whole expression is evaluated
+    exactly ONCE per row when passed as a pandas_udf argument. (A
+    shingle-string formulation — transform over indices slicing the
+    token array — re-evaluates the captured split() per lambda
+    invocation, because Spark's higher-order functions don't do
+    common-subexpression elimination across the lambda boundary: that's
+    O(tokens²) regex splits per row, catastrophic when the text is a
+    derived expression.)"""
+    return F.transform(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+
+
+def _shingles_from_concat(concat: np.ndarray, k: int, mix: np.ndarray) -> np.ndarray:
+    """Rolling k-gram shingle hashes over a CONCATENATED token-hash
+    array: position j gets XOR over offsets of mix[j]·h[pos+j] (wrapping
+    int64 multiplies — order-sensitive, seeded). Windows that straddle
+    row boundaries are produced too; callers mask them out via per-row
+    offsets."""
+    if concat.size < k:
+        return np.empty(0, dtype=np.int64)
+    n_sh = concat.size - (k - 1)
+    with np.errstate(over="ignore"):
+        out = concat[:n_sh] * mix[0]
+        for j in range(1, k):
+            out = out ^ (concat[j : j + n_sh] * mix[j])
+    return out
+
+
+def _sig_mins(sh_concat: np.ndarray, counts: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Per-row MinHash signatures over concatenated shingle hashes:
+    multiply-shift permutations (wrap-around uint64 multiply, keep top
+    31 bits) + one ``minimum.reduceat`` per chunk. ``counts`` are the
+    per-row shingle counts summing to len(sh_concat)."""
+    num_perm = a.size
+    out = np.empty((counts.size, num_perm), dtype=np.int64)
+    offsets = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    # chunk rows so the (shingles × num_perm) matrix stays in cache —
+    # 2¹⁴ shingles × 64 perms × 8 B = 8 MB; the same math over one big
+    # matrix is ~100× slower (allocation + memory-bandwidth bound)
+    budget = max(1 << 14, int(counts.max()) if counts.size else 0)
+    mask31 = np.int64((1 << 31) - 1)
+    start = 0
+    while start < counts.size:
+        end, tot = start, 0
+        while end < counts.size and (tot == 0 or tot + counts[end] <= budget):
+            tot += counts[end]
+            end += 1
+        lo = offsets[start]
+        hi = offsets[end - 1] + counts[end - 1]
+        with np.errstate(over="ignore"):
+            # int64 wrap-multiply ≡ uint64; arithmetic >>33 then &(2³¹−1)
+            # ≡ logical >>33 (the mask drops the sign extension)
+            vals = ((sh_concat[lo:hi, None] * a[None, :]) >> 33) & mask31
+        np.minimum.reduceat(vals, offsets[start:end] - lo, axis=0, out=out[start:end])
+        start = end
+    return out
+
+
+def _pack_rows(hashes: pd.Series, k: int):
+    """(concat token hashes, per-row lengths, shingle-bearing row idx,
+    per-row shingle counts, per-row shingle start offsets in the global
+    rolling-shingle array)."""
+    lens = hashes.map(len).to_numpy(dtype=np.int64)
+    arrays = [np.asarray(h, dtype=np.int64) for h in hashes]
+    concat = (
+        np.concatenate(arrays)
+        if arrays and lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    tok_offsets = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=tok_offsets[1:])
+    nz = np.flatnonzero(lens >= k)
+    counts = lens[nz] - (k - 1)
+    return concat, lens, nz, counts, tok_offsets
 
 
 def minhash_signature(
@@ -107,21 +193,20 @@ def minhash_signature(
 ) -> Column:
     """num_perm-wide MinHash signature computed entirely map-side.
 
-    ``impl="arrow"`` (default, the bench winner): shingles are hashed to
-    64 bits JVM-side (one xxhash64 per shingle), then ONE Arrow
-    pandas_udf derives all permutations with universal hashing —
-    sig[i] = min over shingles of (a_i·h + b_i) mod 2³¹−1 — as a single
-    ``minimum.reduceat`` over the whole batch. Catalyst never sees an
-    O(num_perm) expression tree, and the numpy inner loop is ~C speed.
+    ``impl="arrow"`` (default): ONE pandas_udf receives the per-token
+    hash array (token_hashes — a single JVM pass per row) and does
+    everything else in numpy: rolling k-gram shingle hashes (seeded
+    multiply-XOR mix) then multiply-shift permutation minima via
+    ``minimum.reduceat`` over the whole Arrow batch. Catalyst never
+    sees an O(num_perm)- or O(#shingles)-sized expression tree.
 
     ``impl="expr"`` keeps the pure-JVM fold: ONE ``aggregate`` over the
-    shingle array with an array accumulator, sig[i] = min xxhash64(s, i)
-    (64 separate array_min(transform(...)) exprs would inline and
-    recompute the shingling per permutation — a 64× blowup Catalyst
-    does not eliminate). Correct but interpreter-bound at ~num_perm ×
-    #shingles expression evaluations per row.
+    shingle-string array with an array accumulator, sig[i] = min
+    xxhash64(s, i). Correct but interpreter-bound at ~num_perm ×
+    #shingles expression evaluations per row — the verification oracle
+    for the arrow path's plumbing, not a scale path.
 
-    Rows with no shingles get the sentinel all-_MAX_LONG signature in
+    Rows with < k tokens get the sentinel all-_MAX_LONG signature in
     both impls (callers filter empty shingle sets before LSH anyway).
     """
     if impl == "expr":
@@ -136,43 +221,56 @@ def minhash_signature(
             ),
         )
 
-    shingle_hashes = F.transform(word_shingles(col, k), lambda s: F.xxhash64(s))
-    return minhash_signature_from_hashes(shingle_hashes, num_perm)
-
-
-def minhash_signature_from_hashes(hashes: Column, num_perm: int = 64) -> Column:
-    """Arrow-path signature over an existing array<long> of shingle
-    hashes — lets callers that also need the shingle set for exact
-    verification compute the (expensive) shingling exactly once."""
     a = _minhash_params(num_perm)
+    mix = _minhash_params(k, seed=11)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(hashes: pd.Series) -> pd.Series:
-        lens = hashes.map(len).to_numpy(dtype=np.int64)
-        out = np.full((len(hashes), num_perm), _MAX_LONG, dtype=np.int64)
-        nz_idx = np.flatnonzero(lens)
-        # chunk by shingle count so the (shingles × num_perm) working
-        # matrix stays ~tens of MB regardless of Arrow batch size
-        chunk_budget = 1 << 17
-        start = 0
-        while start < nz_idx.size:
-            end, tot = start, 0
-            while end < nz_idx.size and (tot == 0 or tot + lens[nz_idx[end]] <= chunk_budget):
-                tot += lens[nz_idx[end]]
-                end += 1
-            rows = nz_idx[start:end]
-            concat = np.concatenate(
-                [np.asarray(hashes.iat[i], dtype=np.int64) for i in rows]
-            ).view(np.uint64)
-            # multiply-shift: wrap-around uint64 multiply, keep top 31
-            vals = (concat[:, None] * a[None, :]) >> np.uint64(33)
-            offsets = np.zeros(rows.size, dtype=np.int64)
-            np.cumsum(lens[rows][:-1], out=offsets[1:])
-            out[rows] = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
-            start = end
+        concat, lens, nz, counts, tok_offsets = _pack_rows(hashes, k)
+        out = np.full((lens.size, num_perm), _MAX_LONG, dtype=np.int64)
+        if nz.size:
+            sh_all = _shingles_from_concat(concat, k, mix)
+            idx = np.concatenate(
+                [tok_offsets[i] + np.arange(lens[i] - (k - 1)) for i in nz]
+            )
+            out[nz] = _sig_mins(sh_all[idx], counts, a)
         return pd.Series(list(out))
 
-    return _sig(hashes)
+    return _sig(token_hashes(col))
+
+
+def minhash_sig_and_shingles(col: Column, num_perm: int = 64, k: int = 3) -> Column:
+    """struct(sh: array<long>, sig: array<long>) — the shingle-hash set
+    (for exact-Jaccard verification; Spark's array_intersect/array_union
+    are set-semantic, so duplicates are harmless) and the MinHash
+    signature, from ONE JVM tokenization pass + ONE pandas_udf."""
+    a = _minhash_params(num_perm)
+    mix = _minhash_params(k, seed=11)
+    schema = T.StructType(
+        [
+            T.StructField("sh", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _both(hashes: pd.Series) -> pd.DataFrame:
+        concat, lens, nz, counts, tok_offsets = _pack_rows(hashes, k)
+        empty = np.empty(0, dtype=np.int64)
+        sh_out = [empty] * lens.size
+        sig_out = np.full((lens.size, num_perm), _MAX_LONG, dtype=np.int64)
+        if nz.size:
+            sh_all = _shingles_from_concat(concat, k, mix)
+            per_row = [
+                sh_all[tok_offsets[i] : tok_offsets[i] + lens[i] - (k - 1)]
+                for i in nz
+            ]
+            sig_out[nz] = _sig_mins(np.concatenate(per_row), counts, a)
+            for i, sh in zip(nz, per_row):
+                sh_out[i] = sh
+        return pd.DataFrame({"sh": sh_out, "sig": list(sig_out)})
+
+    return _both(token_hashes(col))
 
 
 def minhash_dedup_pairs(
@@ -195,20 +293,16 @@ def minhash_dedup_pairs(
     """
     r = num_perm // bands
     df = _spread_small_input(df)
-    # shingle ONCE, as 64-bit hashes: the hash array serves BOTH the
-    # signature UDF and the exact-Jaccard verification (Jaccard over
-    # distinct shingle hashes ≡ Jaccard over shingles, collisions
-    # vanishingly unlikely), and an array<long> is far cheaper to
-    # persist/join than the shingle strings
-    hashed = df.select(
+    # ONE tokenization pass + ONE pandas_udf yields both the shingle-
+    # hash set (exact-Jaccard verification over hashes ≡ over shingles,
+    # collisions vanishingly unlikely; array<long> is far cheaper to
+    # persist/join than shingle strings) and the MinHash signature
+    base = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
-            "__sh"
-        ),
+        minhash_sig_and_shingles(F.col(text_col), num_perm, k).alias("__p"),
+    ).select(
+        "__id", F.col("__p.sh").alias("__sh"), F.col("__p.sig").alias("__sig")
     ).where(F.size("__sh") > 0)
-    base = hashed.select(
-        "__id", "__sh", minhash_signature_from_hashes(F.col("__sh"), num_perm).alias("__sig")
-    )
     # the frame feeds THREE plan branches (band explode + both sides of
     # the verification join); persist EAGERLY — Spark's lazy cache fills
     # per-partition, so concurrent downstream stages of one action would

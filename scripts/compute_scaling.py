@@ -125,7 +125,7 @@ def main() -> None:
         for cpus in LEVELS:
             proc = subprocess.run(
                 [sys.executable, __file__, "--worker", "--cpus", str(cpus)],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=3600,
             )
             line = next(
                 (l for l in proc.stdout.splitlines()
