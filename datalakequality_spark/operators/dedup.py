@@ -90,7 +90,6 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
 
 
 _MAX_LONG = (1 << 63) - 1
-_MERSENNE31 = (1 << 31) - 1
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> np.ndarray:
@@ -148,10 +147,12 @@ def _sig_mins(sh_concat: np.ndarray, counts: np.ndarray, a: np.ndarray) -> np.nd
     out = np.empty((counts.size, num_perm), dtype=np.int64)
     offsets = np.zeros(counts.size, dtype=np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    # chunk rows so the (shingles × num_perm) matrix stays in cache —
-    # 2¹⁴ shingles × 64 perms × 8 B = 8 MB; the same math over one big
-    # matrix is ~100× slower (allocation + memory-bandwidth bound)
-    budget = max(1 << 14, int(counts.max()) if counts.size else 0)
+    # chunk rows so the (shingles × num_perm) working set stays in the
+    # PER-CORE L2 (2¹² shingles × 64 perms × 8 B ≈ 2 MB incl.
+    # temporaries) — at L3 size the kernel becomes shared-cache-bound
+    # and multi-core scaling collapses; one big matrix is ~100× slower
+    # outright (allocation + memory-bandwidth bound)
+    budget = max(1 << 12, int(counts.max()) if counts.size else 0)
     mask31 = np.int64((1 << 31) - 1)
     start = 0
     while start < counts.size:

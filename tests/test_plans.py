@@ -1,0 +1,90 @@
+"""Physical-plan assertions — the 100-TB design properties that the
+operators promise (pushdown, pruning, broadcast, no plane literals)
+checked against `.explain`/queryExecution output so regressions fail
+loudly instead of silently degrading at scale."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark, tmp_path):
+    """Filters reach the parquet source and untouched columns are
+    pruned from ReadSchema (tokens never read for a doc_id/n_tok
+    query)."""
+    from datalakequality_spark.sources.datagen import generate_sequences
+
+    path = str(tmp_path / "seq")
+    generate_sequences(spark, 2000).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("n_tok") > 50)
+        .select("doc_id", "n_tok")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "n_tok" in plan.split("PushedFilters")[1][:120]
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "tokens" not in read_schema  # column pruning reached the scan
+
+
+def test_profile_single_exchange(spark):
+    """The batched numeric-stats aggregation is one partial+final agg —
+    exactly one shuffle regardless of column count."""
+    from datalakequality_spark.operators.profiling import numeric_stats_df
+
+    df = spark.createDataFrame(
+        [(float(i), i * 2.0, i % 7) for i in range(100)], "a double, b double, c long"
+    )
+    plan = _plan(numeric_stats_df(df))
+    assert plan.count("Exchange") <= 1
+
+
+def test_broadcast_join_in_merge_discovery(spark, tmp_path):
+    """MERGE's affected-file semi-join broadcasts the (small) key side
+    rather than shuffling the table."""
+    from datalakequality_spark.sources.datagen import generate_sequences
+
+    path = str(tmp_path / "seq")
+    generate_sequences(spark, 5000).write.parquet(path)
+    tgt = spark.read.parquet(path)
+    src_keys = generate_sequences(spark, 100).select("doc_id")
+    plan = _plan(tgt.join(F.broadcast(src_keys), "doc_id", "left_semi"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_embedding_bucket_plan_has_no_plane_literals(spark):
+    """The hyperplane-LSH bucket must keep its planes in the UDF
+    closure: at dim=1024 an inlined-literal formulation produces a
+    multi-megabyte Catalyst tree that chokes the optimizer."""
+    from datalakequality_spark.operators.dedup import embedding_lsh_bucket
+
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(1024).tolist()) for i in range(4)],
+        "id long, v array<double>",
+    )
+    out = df.select(embedding_lsh_bucket(F.col("v"), dim=1024, n_planes=16).alias("b"))
+    plan = _optimized(out)
+    assert len(plan) < 20_000  # literal planes would be ~16k floats ≈ >250 KB
+    assert "ArrowEvalPython" in _plan(out)
+
+
+def test_minhash_single_tokenization(spark):
+    """The MinHash path sends ONE token-hash array per row through ONE
+    Arrow UDF — no shingle-string expression tree in the plan."""
+    from datalakequality_spark.operators.dedup import minhash_sig_and_shingles
+
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    out = df.select(minhash_sig_and_shingles(F.col("t"), 64, 3).alias("p"))
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "slice" not in plan  # no per-shingle slicing JVM-side
