@@ -24,6 +24,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd  # module scope: pandas_udf resolves stringified hints here
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -31,7 +33,9 @@ LEVELS = (2, 8, 32)
 
 
 def _data_dir(rows: int) -> str:
-    return os.path.join(REPO, f".bench_work_compute_{rows}")
+    # NOT dot-prefixed: Spark's hidden-file filter can drop a
+    # dot-prefixed input directory from the file listing entirely
+    return os.path.join(REPO, f"bench_scale_data_{rows}")
 
 
 def prepare(rows: int) -> None:
@@ -77,10 +81,8 @@ def worker(cpus: int, rows: int) -> None:
     # reads) on first use — against this disk a simultaneous cold-import
     # storm can stall the first Arrow-UDF op by minutes, which is
     # startup cost, not engine throughput
-    import pandas as _pd
-
     @F.pandas_udf("long")
-    def _warm(s: "_pd.Series") -> "_pd.Series":
+    def _warm(s: pd.Series) -> pd.Series:
         return s
 
     (
