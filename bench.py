@@ -27,6 +27,8 @@ import shutil
 import sys
 import time
 
+import pandas as pd  # module scope: pandas_udf resolves stringified hints here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,10 +130,31 @@ def run_queries(spark) -> dict[str, float]:
     return timings
 
 
+def _warm_python_workers(spark) -> None:
+    """Pre-spawn the Arrow-UDF worker pool before anything is timed:
+    each forked worker imports numpy/pandas/pyarrow (thousands of
+    site-packages file reads) on first use, and a simultaneous
+    cold-import storm against this sandbox's disk can add tens of
+    seconds to the first UDF stage — startup cost, not engine time."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _w(s: pd.Series) -> pd.Series:
+        return s
+
+    (
+        spark.range(CPUS * 4, numPartitions=CPUS * 4)
+        .select(_w(F.col("id")).alias("x"))
+        .agg(F.sum("x"))
+        .collect()
+    )
+
+
 def main() -> None:
     from datalakequality_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
+    _warm_python_workers(spark)
     maint = run_maintenance(spark)
     # drain the maintenance phase's dirty-page writeback BEFORE timing
     # queries: ~17×SF GB of writes otherwise flush through the single
