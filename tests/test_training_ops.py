@@ -298,3 +298,47 @@ def test_minhash_impls_agree_on_planted_pairs(spark, corpus):
         for r in minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.6).collect()
     }
     assert len(got & planted) >= 18
+
+
+def test_minhash_kernel_matches_bigint_reference():
+    """The int64 wrap-multiply / arith-shift+mask kernel must equal the
+    plain uint64 multiply-shift definition computed with python bigints
+    — pins the bit-level tricks (two's-complement wrap, sign-masked
+    shift) against the textbook formula."""
+    from datalakequality_spark.operators.dedup import (
+        _minhash_params,
+        _pack_rows,
+        _shingles_from_concat,
+        _sig_mins,
+    )
+
+    rng = np.random.default_rng(21)
+    k, num_perm = 3, 16
+    a = _minhash_params(num_perm)
+    mix = _minhash_params(k, seed=11)
+    rows = [
+        rng.integers(-(2**63), 2**63 - 1, size=n).tolist()
+        for n in (0, 1, 2, 3, 7, 40)
+    ]
+    hashes = pd.Series([np.asarray(r, dtype=np.int64) for r in rows])
+
+    concat, lens, nz, counts, tok_offsets = _pack_rows(hashes, k)
+    sh_all = _shingles_from_concat(concat, k, mix)
+    idx = np.concatenate(
+        [tok_offsets[i] + np.arange(lens[i] - (k - 1)) for i in nz]
+    )
+    got = _sig_mins(sh_all[idx], counts, a)
+
+    M64 = 1 << 64
+    for out_row, i in enumerate(nz):
+        toks = [t % M64 for t in rows[i]]
+        shingles = []
+        for s in range(len(toks) - k + 1):
+            v = 0
+            for j in range(k):
+                v ^= (toks[s + j] * (int(mix[j]) % M64)) % M64
+            shingles.append(v)
+        for p in range(num_perm):
+            ap = int(a[p]) % M64
+            expected = min(((sh * ap) % M64) >> 33 for sh in shingles)
+            assert got[out_row, p] == expected, (i, p)
