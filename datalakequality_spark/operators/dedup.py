@@ -57,6 +57,34 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def _eager(df: DataFrame) -> DataFrame:
+    """Persist + materialize a frame that feeds multiple plan branches
+    of ONE downstream action (Spark's lazy cache fills per-partition, so
+    concurrent branch stages would otherwise recompute the UDF work
+    before the cache lands). The persisted frame stays cached until
+    ``release`` is called on the query result — long-lived sessions
+    running many dedup calls should release each result after
+    materializing it, or cached blocks accumulate in executor storage
+    memory until eviction pressure hits other workloads."""
+    df = df.persist()
+    df.count()
+    return df
+
+
+def release(result: DataFrame) -> None:
+    """Unpersist the intermediate frames a dedup/similarity query cached
+    (tracked on the result via ``_dlq_persisted``). Call AFTER the
+    result has been collected/written — the result plan still references
+    the cached frames until then. No-op for untracked frames."""
+    for cached in getattr(result, "_dlq_persisted", []):
+        cached.unpersist()
+
+
+def _track(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    result._dlq_persisted = list(cached)
+    return result
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -174,9 +202,15 @@ def _sig_mins(sh_concat: np.ndarray, counts: np.ndarray, a: np.ndarray) -> np.nd
 def _pack_rows(hashes: pd.Series, k: int):
     """(concat token hashes, per-row lengths, shingle-bearing row idx,
     per-row shingle counts, per-row shingle start offsets in the global
-    rolling-shingle array)."""
-    lens = hashes.map(len).to_numpy(dtype=np.int64)
-    arrays = [np.asarray(h, dtype=np.int64) for h in hashes]
+    rolling-shingle array).
+
+    NULL text arrives as None (token_hashes propagates NULL); such rows
+    are treated as zero-token rows, so they fall through to the sentinel
+    signature / empty shingle set exactly like too-short texts."""
+    lens = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
+    arrays = [
+        np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)
+    ]
     concat = (
         np.concatenate(arrays)
         if arrays and lens.sum()
@@ -305,13 +339,10 @@ def minhash_dedup_pairs(
         "__id", F.col("__p.sh").alias("__sh"), F.col("__p.sig").alias("__sig")
     ).where(F.size("__sh") > 0)
     # the frame feeds THREE plan branches (band explode + both sides of
-    # the verification join); persist EAGERLY — Spark's lazy cache fills
-    # per-partition, so concurrent downstream stages of one action would
-    # otherwise each recompute the signature UDF before the cache lands.
-    # At warehouse scale a pipeline would materialize signatures to a
-    # table, which this persist stands in for.
-    base = base.persist()
-    base.count()
+    # the verification join). At warehouse scale a pipeline would
+    # materialize signatures to a table, which this persist stands in
+    # for; call ``release(result)`` after materializing to free it.
+    base = _eager(base)
 
     # all band hashes in ONE expression over the signature (16 separate
     # slice exprs would inline and re-evaluate the signature per band),
@@ -349,7 +380,7 @@ def minhash_dedup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return _track(verified, base)
 
 
 # ------------------------------------------------------- exact n-gram Jaccard
@@ -382,8 +413,7 @@ def ngram_jaccard_pairs(
     sh = _spread_small_input(df).select(
         F.col(id_col).alias("__id"), word_shingles(F.col(text_col), k).alias("__sh")
     ).where(F.size("__sh") > 0)
-    sh = sh.persist()  # explode + sizes + two join sides reuse it
-    sh.count()
+    sh = _eager(sh)  # explode + sizes + two join sides reuse it
     sizes = sh.select("__id", F.size("__sh").alias("__n"))
     ex = sh.select("__id", F.explode("__sh").alias("s"))
     inter = (
@@ -392,7 +422,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"__id": "id_a", "__n": "n_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"__id": "id_b", "__n": "n_b"}), "id_b")
         .withColumn(
@@ -401,6 +431,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _track(out, sh)
 
 
 # -------------------------------------------------------------------- SimHash
@@ -409,13 +440,14 @@ def ngram_jaccard_pairs(
 @F.pandas_udf(T.LongType())
 def _pack_simhash(hashes: pd.Series) -> pd.Series:
     """64-bit SimHash from per-token 64-bit hashes: per bit, sign of the
-    Σ(±1) vote. Vectorized over the whole Arrow batch with reduceat."""
-    lens = hashes.map(len).to_numpy(dtype=np.int64)
+    Σ(±1) vote. Vectorized over the whole Arrow batch with reduceat.
+    NULL text (None) hashes to 0 like an empty token list."""
+    lens = hashes.map(lambda h: 0 if h is None else len(h)).to_numpy(dtype=np.int64)
     out = np.zeros(len(hashes), dtype=np.uint64)
     nz = lens > 0
     if nz.any():
         concat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes[nz]]
+            [np.asarray(h, dtype=np.int64) for h in hashes[nz.tolist()]]
         ).view(np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
         bits = ((concat[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
@@ -454,8 +486,7 @@ def simhash_dup_pairs(
     # feeds both sides of the bucket self-join → eager persist so the
     # token hashing + SimHash UDF runs once per row (lazy cache would
     # race between the join's two scan stages)
-    base = base.persist()
-    base.count()
+    base = _eager(base)
     blocks = base.select(
         "__id",
         "__sh",
@@ -489,7 +520,7 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    return _track(pairs, base)
 
 
 # ------------------------------------------------------- embedding near-dups
@@ -520,17 +551,61 @@ def embedding_lsh_bucket(vec: Column, dim: int, n_planes: int = 16, seed: int = 
     @F.pandas_udf(T.LongType())
     def _bucket(vs: pd.Series) -> pd.Series:
         n = len(vs)
-        out = np.empty(n, dtype=np.int64)
+        # NULL vectors deterministically bucket to 0 (the behavior of the
+        # earlier expression formulation) instead of blowing up vstack
+        out = np.zeros(n, dtype=np.int64)
         vals = vs.to_numpy()
+        ok = np.array([v is not None for v in vals], dtype=bool)
+        idx = np.flatnonzero(ok)
         # chunk rows so the dense X matrix stays ~32 MB even at dim=4096
         step = max(1, (1 << 22) // max(dim, 1))
-        for s in range(0, n, step):
-            X = np.vstack([np.asarray(v, dtype=np.float64) for v in vals[s : s + step]])
+        for s in range(0, idx.size, step):
+            sel = idx[s : s + step]
+            X = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in sel])
             bits = (X @ planes_t) > 0
-            out[s : s + step] = (bits * weights).sum(axis=1).astype(np.int64)
+            out[sel] = (bits * weights).sum(axis=1).astype(np.int64)
         return pd.Series(out)
 
     return _bucket(vec)
+
+
+def embedding_lsh_bands(
+    vec: Column, dim: int, bands: int = 8, planes_per_band: int = 8, seed: int = 42
+) -> Column:
+    """``array<long>`` of per-band hyperplane bucket ids — banded LSH
+    like the MinHash path: a pair becomes a candidate when ANY band's
+    bucket matches, which is what buys recall at high cosine (a single
+    wide bucket has P(match | cos 0.95) ≈ 0.9⁶⁴ ≈ 0; 8 bands of 8 planes
+    give 1−(1−0.9⁸)⁸ ≈ 0.99).
+
+    One Arrow pandas_udf does ONE (batch × dim) @ (dim × bands·planes)
+    BLAS matmul and packs sign bits per band — planes live in the UDF
+    closure, so the Catalyst plan carries zero plane literals at any
+    dim. NULL vectors deterministically get all-zero band buckets."""
+    if not 0 < planes_per_band <= 62:
+        raise ValueError("planes_per_band must be in 1..62 to pack into a long")
+    n_planes = bands * planes_per_band
+    planes_t = lsh_planes(n_planes, dim, seed).T  # (dim, bands·planes_per_band)
+    weights = np.left_shift(np.uint64(1), np.arange(planes_per_band, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vs: pd.Series) -> pd.Series:
+        n = len(vs)
+        out = np.zeros((n, bands), dtype=np.int64)
+        vals = vs.to_numpy()
+        idx = np.flatnonzero(np.array([v is not None for v in vals], dtype=bool))
+        step = max(1, (1 << 22) // max(dim, 1))
+        for s in range(0, idx.size, step):
+            sel = idx[s : s + step]
+            X = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in sel])
+            bits = (X @ planes_t) > 0  # (rows, bands·planes_per_band)
+            packed = (
+                bits.reshape(len(sel), bands, planes_per_band) * weights
+            ).sum(axis=2)
+            out[sel] = packed.astype(np.int64)
+        return pd.Series(list(out))
+
+    return _buckets(vec)
 
 
 def embedding_dup_pairs(
@@ -539,14 +614,20 @@ def embedding_dup_pairs(
     vec_col: str,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    bands: int = 8,
+    planes_per_band: int = 8,
     brute_force: bool = False,
+    seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine ≥ threshold.
 
-    Default: hyperplane-LSH bucket join (collision prob for cosine 0.95
-    on 12 planes ≈ (1−θ/π)¹² ≈ 0.67, so run with brute_force=True when
-    recall must be exact — that is also the DuckDB-oracle path)."""
+    Default: BANDED hyperplane-LSH (8 bands × 8 planes → recall ≈ 0.99
+    at cosine 0.95) — band explode shuffles #vecs × bands tiny rows,
+    the band-bucket self-join emits candidates, and exact cosine
+    verifies only the candidates, so precision is always exact.
+    ``brute_force=True`` is the exact-recall quadratic path (also the
+    DuckDB-oracle path). Call ``release(result)`` after materializing
+    to drop the cached vector frame."""
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col(vec_col), lambda x: x * x),
@@ -557,30 +638,60 @@ def embedding_dup_pairs(
     base = _spread_small_input(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), norm.alias("__n")
     )
+    cached: list[DataFrame] = []
     if not brute_force:
         base = base.withColumn(
-            "__b", embedding_lsh_bucket(F.col("__v"), dim, n_planes)
-        ).persist()  # both sides of the bucket self-join reuse it
-        base.count()
-        joined = base.alias("a").join(
-            base.alias("b"),
-            (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__id") < F.col("b.__id")),
+            "__bb",
+            embedding_lsh_bands(F.col("__v"), dim, bands, planes_per_band, seed),
+        )
+        # feeds the band explode + both sides of the verification join
+        base = _eager(base)
+        cached.append(base)
+        banded = base.select("__id", F.posexplode("__bb").alias("band", "bh"))
+        candidates = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .distinct()
+        )
+        vecs = base.select("__id", "__v", "__n")
+        joined = candidates.join(
+            vecs.withColumnsRenamed({"__id": "id_a", "__v": "__va", "__n": "__na"}),
+            "id_a",
+        ).join(
+            vecs.withColumnsRenamed({"__id": "id_b", "__v": "__vb", "__n": "__nb"}),
+            "id_b",
         )
     else:
-        joined = base.alias("a").join(
-            base.alias("b"), F.col("a.__id") < F.col("b.__id")
+        joined = (
+            base.alias("a")
+            .join(base.alias("b"), F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.col("a.__id").alias("id_a"),
+                F.col("b.__id").alias("id_b"),
+                F.col("a.__v").alias("__va"),
+                F.col("b.__v").alias("__vb"),
+                F.col("a.__n").alias("__na"),
+                F.col("b.__n").alias("__nb"),
+            )
         )
     dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    out = (
         joined.select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            (dot / (F.col("a.__n") * F.col("b.__n"))).alias("cosine"),
+            "id_a",
+            "id_b",
+            (dot / (F.col("__na") * F.col("__nb"))).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    return _track(out, *cached)

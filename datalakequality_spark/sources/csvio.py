@@ -51,11 +51,24 @@ def export_csv(
     if not single_file:
         df.write.mode("overwrite").option("header", header).csv(path)
         return path
+    if os.path.isdir(path):
+        # e.g. a previous distributed export to the same path — silently
+        # replacing a directory tree with one file would destroy data
+        raise IsADirectoryError(
+            f"export_csv(single_file=True): {path} is an existing directory "
+            "(previous distributed export?); remove it or pick another path"
+        )
     tmp_dir = f"{path}.__csv_tmp__"
-    df.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp_dir)
-    part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))
-    if not part:  # empty frame with no rows still writes a header-only part
-        part = glob.glob(os.path.join(tmp_dir, "part-*"))
-    os.replace(part[0], path)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", header).csv(tmp_dir)
+        part = glob.glob(os.path.join(tmp_dir, "part-*.csv"))
+        if not part:  # empty frame with no rows still writes a header-only part
+            part = glob.glob(os.path.join(tmp_dir, "part-*"))
+        if not part:
+            raise FileNotFoundError(
+                f"export_csv: Spark wrote no part file under {tmp_dir}"
+            )
+        os.replace(part[0], path)
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return path
