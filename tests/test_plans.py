@@ -78,6 +78,35 @@ def test_embedding_bucket_plan_has_no_plane_literals(spark):
     assert "ArrowEvalPython" in _plan(out)
 
 
+def test_contract_suggest_single_scan(spark):
+    """q_contract_suggest must be ONE wide agg over ONE scan of events
+    (VERDICT r2: the old per-column agg-union scanned it 4x)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    df = entry.q_contract_suggest(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert df.count() == 4
+
+
+def test_top_customers_aqe_broadcasts(spark):
+    """Without a hard broadcast hint, AQE's size-gated re-plan must
+    still broadcast the customer dimension at test SF."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod2", "__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    df = entry.q_top_customers(spark, "/root/testdata/sf0.001")
+    assert df.count() == 10  # materialize so AQE finalizes the plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "broadcast" not in _optimized(df).lower()  # no forced hint
+
+
 def test_minhash_single_tokenization(spark):
     """The MinHash path sends ONE token-hash array per row through ONE
     Arrow UDF — no shingle-string expression tree in the plan."""
