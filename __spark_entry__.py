@@ -303,7 +303,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_planted_dups(spark, sf_dir), "doc_id", "text", threshold=0.6
     )
     capped = lambda c: (F.col(c) < 500) | (F.col(c) >= 1_000_000)  # noqa: E731
-    return pairs.where(capped("id_a") & capped("id_b"))
+    out = pairs.where(capped("id_a") & capped("id_b"))
+    out._dlq_persisted = getattr(pairs, "_dlq_persisted", [])  # keep release()able
+    return out
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,11 +326,13 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") < 20) & (token_count(F.col("text")) >= 20))
         .select(F.col("doc_id").alias("id_a"))
     )
-    return (
+    out = (
         pairs.where(F.col("id_b") == F.col("id_a") + 1_000_000)
         .join(long_docs, "id_a")
         .select("id_a", "id_b")
     )
+    out._dlq_persisted = getattr(pairs, "_dlq_persisted", [])  # keep release()able
+    return out
 
 
 def q_fingerprint_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,9 +1,14 @@
 """Narration — explanations, insights, alerts (SURVEY.md §2.10 N1–N3).
 
-Metric → text, pure driver logic over the metrics report. Bands,
-alert codes/levels and severity thresholds match the reference
-(/root/reference/backend/app/core/{explain,insights,alerts}.py); the
-implementation is table-driven rather than a chain of if-blocks.
+Metric → text, pure driver logic over the metrics report. This module
+consolidates the reference's explain.py/insights.py/alerts.py and is
+deliberately the closest thing to a port in the repo: the OUTPUT
+STRINGS are carried verbatim (they are the reference's observable
+report surface, required for parity), and ``build_explanations``
+mirrors the reference's threshold-if-chain structurally because the
+band boundaries and their ordering ARE the semantics. ``build_alerts``
+uses a rule table; the explanation path does not, since several of its
+branches interpolate differently per band.
 """
 
 from __future__ import annotations

@@ -41,6 +41,7 @@ def detect_outliers(
     z_thresh: float = 3.0,
     columns: list[str] | None = None,
     stats: dict[str, dict[str, Any]] | None = None,
+    cache_projection: bool = False,
 ) -> dict[str, Any]:
     """Reference-shaped result:
     ``{"columns": [...], "total_outliers", "total_numeric_values",
@@ -48,7 +49,18 @@ def detect_outliers(
 
     ``stats``: optionally reuse per-column {mean, std, value_count}
     already computed by profiling (saves the first pass — the quality
-    gate does this so profile+outliers share one scan).
+    gate does this so profile+outliers share one scan). That is the
+    preferred at-scale shape: z-score needs mean/std BEFORE it can count
+    exceedances, so a standalone call is inherently two passes.
+
+    ``cache_projection``: for a standalone call (stats=None), persist
+    the narrow numeric projection between the two passes so the second
+    pass reads k columns of in-memory columnar data instead of
+    re-decoding the source (worth it when the inputs are expensive
+    derived expressions or a small column subset of wide/nested
+    storage; the projection is k×8 bytes/row — size executor
+    storage accordingly, MEMORY_AND_DISK spills the remainder).
+    Unpersisted before returning.
     """
     num_cols = columns if columns is not None else numeric_columns(df)
     if not num_cols:
@@ -58,6 +70,16 @@ def detect_outliers(
             "total_numeric_values": 0,
             "overall_outlier_ratio": 0.0,
         }
+
+    cached = None
+    if cache_projection and stats is None:
+        # evaluate nn() against the ORIGINAL schema, then both passes
+        # run over the slim persisted frame
+        proj = df.select(*[nn(df, c).cast("double").alias(c) for c in num_cols])
+        from pyspark.storagelevel import StorageLevel
+
+        cached = proj.persist(StorageLevel.MEMORY_AND_DISK)
+        df = cached
 
     if stats is None:
         aggs = []
@@ -103,6 +125,8 @@ def detect_outliers(
         ]
         row2 = df.agg(*aggs).collect()[0].asDict()
         zcounts = {c: int(row2[f"out::{c}"] or 0) for c in zcols}
+    if cached is not None:
+        cached.unpersist()
 
     results = []
     total_outliers = 0

@@ -11,13 +11,17 @@ aggregations. Semantics preserved exactly:
 - numeric std is population std (``ddof=0`` → ``stddev_pop``)
 - ``unique_count`` = exact distinct excluding nulls (``nunique(dropna=True)``)
 
-Scale notes: the whole profile is TWO Spark jobs regardless of column
-count — one wide agg (missing/min/max/mean/std batched across every
-column, map-side partial aggregation, no shuffle beyond the final
-single-row reduce) and one distinct-count job for duplicates. Exact
-per-column distinct counts use one expand-based agg; at 100 TB pass
-``exact_distinct=False`` to use HLL sketches (``approx_count_distinct``)
-which keeps the plan a single streaming agg.
+Scale notes: with ``exact_distinct=True`` (parity mode) the profile is
+TWO Spark jobs regardless of column count — one wide agg
+(missing/min/max/mean/std batched across every column, map-side partial
+aggregation, no shuffle beyond the final single-row reduce; exact
+per-column distincts plan as one expand-based agg) and one
+full-row-distinct job for duplicates. With ``exact_distinct=False``
+(the 100 TB path, and the quality gate's default) the ENTIRE profile is
+ONE shuffle-free job: per-column distincts become HLL sketches
+(``approx_count_distinct``, map-side mergeable) and the duplicate-row
+count folds into the same agg as an HLL over the 64-bit full-row hash
+(error: HLL rsd ~2% + a vanishing xxhash64 collision term ≈ n²·2⁻⁶⁵).
 """
 
 from __future__ import annotations
@@ -89,6 +93,15 @@ def profile_dataset(df: DataFrame, exact_distinct: bool = True) -> dict[str, Any
     distinct_fn = F.countDistinct if exact_distinct else F.approx_count_distinct
 
     aggs: list = [F.count(F.lit(1)).alias("__rows")]
+    if not exact_distinct:
+        # P3 at scale: distinct-row count as an HLL over the full-row
+        # hash INSIDE the same wide agg — no second job, no shuffle
+        # (xxhash64 seed-chains across columns incl. arrays; NULLs keep
+        # the running hash, consistent with dropDuplicates' null-safe
+        # grouping up to hash collisions)
+        aggs.append(
+            F.approx_count_distinct(F.xxhash64(*cols)).alias("__distinct_rows")
+        )
     for c in cols:
         qc = nn(df, c)
         aggs.append(F.sum(qc.isNull().cast("long")).alias(f"miss::{c}"))
@@ -102,9 +115,15 @@ def profile_dataset(df: DataFrame, exact_distinct: bool = True) -> dict[str, Any
     row = df.agg(*aggs).collect()[0].asDict()
     n_rows = int(row["__rows"])
 
-    # P3: duplicate full rows. Hash-agg over all columns; arrays compare
-    # element-wise natively. Second (and last) job of the profile.
-    duplicate_rows = n_rows - df.dropDuplicates().count() if n_rows else 0
+    # P3: duplicate full rows. Parity mode: exact hash-agg over all
+    # columns (arrays compare element-wise natively) — second (and
+    # last) job of the profile. Scale mode folded it into the agg above.
+    if not n_rows:
+        duplicate_rows = 0
+    elif exact_distinct:
+        duplicate_rows = n_rows - df.dropDuplicates().count()
+    else:
+        duplicate_rows = max(0, n_rows - int(row["__distinct_rows"]))
 
     total_cells = max(n_rows * n_cols, 1)
     total_missing = sum(int(row[f"miss::{c}"]) for c in cols)

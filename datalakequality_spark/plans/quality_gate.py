@@ -44,12 +44,19 @@ def run_quality_gate(
     dataset_name: str,
     state: StateStore,
     save_history: bool = True,
+    exact_stats: bool = False,
 ) -> dict[str, Any]:
     """Full consolidated report over one DataFrame. Matches the
     reference's report dict field-for-field (quality_gate.py:138-156),
-    with Spark-generated autofix script."""
+    with Spark-generated autofix script.
+
+    ``exact_stats=False`` (default — the 100 TB path) profiles with HLL
+    sketches for per-column distincts AND the duplicate-row count, so
+    the whole profile is one shuffle-free job; pass True for bit-exact
+    reference parity (adds the countDistinct expand + a full-row
+    distinct shuffle — reserve for parity tests / small tables)."""
     # 1) profiling
-    profile = profile_dataset(df)
+    profile = profile_dataset(df, exact_distinct=exact_stats)
     summary = profile["summary"]
     basic_profile = profile["basic_profile"]
 

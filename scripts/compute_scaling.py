@@ -94,24 +94,32 @@ def worker(cpus: int, rows: int) -> None:
 
     t = {}
     t0 = time.time()
-    # exact_distinct=False is the engine's documented 100-TB path
-    # (HLL sketches, map-side combinable) — the exact variant's
-    # countDistinct expand+shuffle spills through the shared /tmp disk,
-    # a constant cost that would mask compute scaling
+    # exact_distinct=False is the engine's documented 100-TB path and
+    # the quality gate's default: per-column HLL distincts AND the
+    # duplicate-row count (HLL over the full-row hash) fold into ONE
+    # shuffle-free wide agg — the exact variant's countDistinct
+    # expand+shuffle and full-row distinct both spill through the
+    # shared /tmp disk, a constant cost that would mask compute scaling
     profile_dataset(df.select("doc_id", "n_tok", "source"), exact_distinct=False)
     t["profile"] = time.time() - t0
 
     t0 = time.time()
     # four numeric columns (all whole-stage-codegen expressions) so the
     # two z-score passes measure columnar aggregation compute rather
-    # than per-job scheduling overhead
+    # than per-job scheduling overhead. cache_projection persists the
+    # 4×8-byte-per-row projection between the stats pass and the
+    # exceedance pass, so pass 2 reads in-memory columnar data instead
+    # of re-decoding the tokens array from parquet — the engine's
+    # documented shape for derived-expression inputs
     wide = df.select(
         "n_tok",
         F.size("tokens").alias("n_tok2"),
         F.element_at("tokens", 1).cast("double").alias("t_first"),
         F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000)).cast("double").alias("h"),
     )
-    detect_outliers(wide, columns=["n_tok", "n_tok2", "t_first", "h"])
+    detect_outliers(
+        wide, columns=["n_tok", "n_tok2", "t_first", "h"], cache_projection=True
+    )
     t["outliers"] = time.time() - t0
 
     t0 = time.time()

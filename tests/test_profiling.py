@@ -59,6 +59,36 @@ def test_duplicate_rows_with_array_column(spark):
     assert prof["summary"]["duplicate_rows"] == 1
 
 
+def test_profile_sketch_path_single_job(spark):
+    """exact_distinct=False (the gate default / 100-TB path) must fold
+    the duplicate-row count into the one wide agg — same answers as the
+    exact path at small cardinality, where HLL's sparse mode is exact."""
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("a", [1, 2]), ("a", [1, 3]), ("b", None)],
+        "k string, v array<int>",
+    )
+    exact = profile_dataset(df, exact_distinct=True)
+    approx = profile_dataset(df, exact_distinct=False)
+    assert approx["summary"]["duplicate_rows"] == exact["summary"]["duplicate_rows"] == 1
+    assert (
+        approx["basic_profile"]["column_stats"]["k"]["unique_count"]
+        == exact["basic_profile"]["column_stats"]["k"]["unique_count"]
+    )
+
+
+def test_outliers_cache_projection_parity(spark, messy_sdf):
+    """cache_projection must not change any number — it only persists
+    the narrow projection between the two passes."""
+    from datalakequality_spark.operators.outliers import detect_outliers
+
+    plain = detect_outliers(messy_sdf)
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    cached = detect_outliers(messy_sdf, cache_projection=True)
+    assert plain == cached
+    # the projection was unpersisted before returning
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == before
+
+
 def test_nan_counts_as_missing(spark):
     # a real NaN value (not NULL) in a double column must count as
     # missing and be excluded from stats, matching pandas isna/dropna

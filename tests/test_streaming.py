@@ -39,6 +39,50 @@ def test_stream_append_commits_snapshots(spark, tmp_path):
     assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
 
 
+def test_stream_crash_between_write_and_commit(spark, tmp_path):
+    """Crash INSIDE the exactly-once window — after write_data_files
+    has landed data files but before commit publishes the snapshot.
+    Restart must neither lose the epoch (the commit never landed, so
+    the checkpoint replays it) nor duplicate it (the orphaned first-
+    attempt files are invisible to scans, which read the manifest)."""
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    generate_sequences(spark, 400).coalesce(1).write.mode("append").parquet(src_dir)
+
+    orig_commit = t.commit
+    calls = {"n": 0}
+
+    def crashing_commit(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash: files written, commit lost")
+        return orig_commit(*a, **k)
+
+    t.commit = crashing_commit
+    q = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    assert calls["n"] == 1
+    assert t.scan().count() == 0  # orphaned files are not visible
+
+    # restart from the same checkpoint: epoch replays and commits once
+    q2 = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.scan().count() == 400
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+    snaps = [s for s in t.snapshots() if s.operation == "stream-append"]
+    assert len(snaps) == 1 and "epoch_id" in snaps[0].summary
+
+
 def test_windowed_counts_plan(spark):
     # streaming aggregation with watermark builds a valid incremental plan
     stream = (
