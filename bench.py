@@ -5,9 +5,14 @@ Two parts:
 1. **Maintenance headline** (the BASELINE.json metric): a deterministic
    synthetic tokenized-sequence table (seed=42, rows scaled off the
    testdata sf) is written as many small files, then driven through the
-   full cycle — bin-packing compaction → Z-order clustering → MERGE
-   INTO (10% updates + inserts) → snapshot expire. Throughput =
-   sequences maintained / wall seconds for the whole cycle.
+   full cycle — fused bin-packing compaction + Z-order clustering
+   (maintenance/clustering.rewrite_sorted — ONE data pass, the Iceberg
+   RewriteDataFiles-with-sort-strategy shape; performs BOTH operators'
+   semantics with half the read/write volume of running them back to
+   back, which r1/r2 did) → MERGE INTO (10% updates + inserts) →
+   snapshot expire. Throughput = sequences maintained / wall seconds
+   for the whole cycle. The quality gate runs inside the rewrite pass
+   (quarantine semantics live, north_star M5).
 2. **Query suite**: every `__spark_entry__.queries()` entry timed at
    `$SPARK_GRAFT_SF_DIR` (default /root/testdata/sf0.1).
 
@@ -47,8 +52,7 @@ MEAN_TOKENS = float(os.environ.get("BENCH_MEAN_TOKENS", "256"))
 
 
 def run_maintenance(spark) -> dict:
-    from datalakequality_spark.maintenance.clustering import cluster_table
-    from datalakequality_spark.maintenance.compaction import compact_table
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
     from datalakequality_spark.maintenance.merge import merge_into
     from datalakequality_spark.sources.datagen import (
         generate_merge_batch,
@@ -60,45 +64,38 @@ def run_maintenance(spark) -> dict:
     shutil.rmtree(root, ignore_errors=True)
 
     t = IceMiniTable.create(spark, root)
-    # small-files layout: ~160 files so compaction has real packing
-    # work (>=3 member files per 1/48-of-total bin)
+    # small-files layout: ~160 files so the rewrite has real packing work
     t.append(generate_sequences(spark, N_ROWS, mean_tokens=MEAN_TOKENS), target_file_rows=max(N_ROWS // 160, 1))
     spark.sparkContext.setJobGroup("bench", "maintenance")
 
-    # file-size targets are a function of the DATA ONLY (actual bytes
-    # from the manifest, ≈48 compacted outputs regardless of
-    # parallelism) so runs at different core counts do identical work —
-    # the scaling-efficiency comparison depends on it. One output file
-    # = one write task; a real cluster would use 128-512 MB files with
-    # the same code path.
-    total_bytes = sum(e.size_bytes for e in t.live_entries())
-    target_bytes = max(16 * 1024 * 1024, total_bytes // 48)
+    # output-file target is a function of the DATA ONLY (row count →
+    # ≈96 curve-ordered outputs regardless of parallelism) so runs at
+    # different core counts do identical work — the scaling-efficiency
+    # comparison depends on it. One output file = one write task; a
+    # real cluster would use 128-512 MB files with the same code path.
     t0 = time.time()
-    compact_table(
+    rewrite_sorted(
         t,
-        target_bytes=target_bytes,
-        small_file_bytes=target_bytes,  # every append-sized file packs
+        method="zorder",
+        target_rows_per_file=max(5_000, N_ROWS // 96),
         quality_gate=True,
     )
     t1 = time.time()
-    cluster_table(
-        t, method="zorder", target_rows_per_file=max(5_000, N_ROWS // 96)
-    )
-    t2 = time.time()
     merge_into(t, generate_merge_batch(spark, N_ROWS, insert_rows=N_ROWS // 10, mean_tokens=MEAN_TOKENS))
-    t3 = time.time()
+    t2 = time.time()
     t.expire_snapshots(keep_last=1)
-    t4 = time.time()
+    t3 = time.time()
 
     rows = t.snapshot().summary["total_rows"]
-    total = t4 - t0
+    total = t3 - t0
     out = {
         "maintain_rows": rows,
         "maintain_sec": round(total, 3),
-        "compact_sec": round(t1 - t0, 3),
-        "cluster_sec": round(t2 - t1, 3),
-        "merge_sec": round(t3 - t2, 3),
-        "expire_sec": round(t4 - t3, 3),
+        # fused compact+cluster (one pass; see module docstring) — the
+        # r1/r2 JSONs reported these as separate compact_sec/cluster_sec
+        "rewrite_sorted_sec": round(t1 - t0, 3),
+        "merge_sec": round(t2 - t1, 3),
+        "expire_sec": round(t3 - t2, 3),
         "sequences_per_sec": round(N_ROWS / total, 1),
     }
     shutil.rmtree(root, ignore_errors=True)

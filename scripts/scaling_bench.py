@@ -64,7 +64,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--repeats", type=int, default=2,
                     help="runs per parallelism level; best (min) wall kept")
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling_cycle.md"))
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
@@ -92,7 +92,7 @@ def main() -> None:
             r = json.loads(line[len("SCALING_RESULT "):])
             print(
                 f"local[{cpus}] run {rep + 1}: {r['maintain_sec']}s "
-                f"(compact {r['compact_sec']} cluster {r['cluster_sec']} "
+                f"(rewrite {r['rewrite_sorted_sec']} "
                 f"merge {r['merge_sec']})", flush=True,
             )
             if cpus not in results or r["maintain_sec"] < results[cpus]["maintain_sec"]:
@@ -105,8 +105,8 @@ def main() -> None:
     def row(c):
         r = results[c]
         return (f"| local[{c}] | {r['shuffle_partitions']} | {r['maintain_sec']} "
-                f"| {r['sequences_per_sec']} | {r['compact_sec']} "
-                f"| {r['cluster_sec']} | {r['merge_sec']} |")
+                f"| {r['sequences_per_sec']} | {r['rewrite_sorted_sec']} "
+                f"| {r['merge_sec']} |")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
@@ -122,8 +122,8 @@ parallelism levels, fresh JVM each, shuffle partitions = 2× cores, AQE
 on everywhere, interleaved order, best of {args.repeats} runs per
 level.
 
-| parallelism | shuffle partitions | cycle wall (s) | sequences/sec | compact | cluster | merge |
-|---|---|---|---|---|---|---|
+| parallelism | shuffle partitions | cycle wall (s) | sequences/sec | rewrite (fused compact+cluster) | merge |
+|---|---|---|---|---|---|
 {row(2)}
 {row(8)}
 {row(32)}
@@ -146,9 +146,11 @@ artifacts cancel.
 Config: `datalakequality_spark.session.get_spark` defaults — AQE +
 coalescePartitions + skewJoin enabled, Arrow on, zstd parquet,
 broadcast threshold 64 MB, driver heap 24g (identical at all levels).
-Cycle = bin-packing compaction with per-file quality gate → Z-order
-clustering → MERGE INTO (10% updates + 10% inserts) → snapshot
-expire, through the same entry points `bench.py` uses. All file-count
+Cycle = fused bin-packing compaction + Z-order clustering in ONE data
+pass with the per-file quality gate inside it
+(maintenance/clustering.rewrite_sorted) → MERGE INTO (10% updates +
+10% inserts) → snapshot expire, through the same entry points
+`bench.py` uses. All file-count
 / file-size targets derive from the data only, so every level does
 identical work.
 

@@ -9,7 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from datalakequality_spark.maintenance.clustering import cluster_table
+from datalakequality_spark.maintenance.clustering import cluster_table, rewrite_sorted
 from datalakequality_spark.maintenance.compaction import compact_table
 from datalakequality_spark.maintenance.lineage import JobLog
 from datalakequality_spark.maintenance.merge import merge_into
@@ -56,6 +56,53 @@ def test_scan_parity_through_full_cycle(spark, table):
     # canonical order: doc_id ascending, rows identical field-for-field
     first = table.canonical_scan().limit(3).collect()
     assert [r["doc_id"] for r in first] == sorted(r["doc_id"] for r in first)
+
+
+def test_rewrite_sorted_fuses_compact_and_cluster(spark, table):
+    """One-pass sorted rewrite ≡ compact_table + cluster_table: content
+    unchanged, small files gone, files globally range-ordered on the
+    curve key with tight disjoint-ish n_tok stats for pruning."""
+    h0 = _content_hash(table)
+    rows0 = table.scan().count()
+    n_files_before = len(table.live_entries())
+    r = rewrite_sorted(table, target_rows_per_file=N // 4)
+    assert r["tasks"] == 1 and r["new_files"] <= 5
+    assert _content_hash(table) == h0
+    assert table.scan().count() == rows0
+    entries = table.live_entries()
+    assert len(entries) < n_files_before  # packing happened
+    # clustering happened: manifest pruning on n_tok drops files
+    assert len(table.prune_entries(entries, min_n_tok=4000)) < len(entries)
+    full = table.scan().where(F.col("n_tok") >= 4000).count()
+    assert table.scan(min_n_tok=4000).where(F.col("n_tok") >= 4000).count() == full
+
+
+def test_rewrite_sorted_gate_and_resume(spark, tmp_path, monkeypatch):
+    t = IceMiniTable.create(spark, str(tmp_path / "rs"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=500)
+    bad = generate_sequences(spark, 400, start_id=10**9).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("+leak@example.com"))
+    )
+    t.append(bad.coalesce(1), target_file_rows=None)
+    job = "rewrite-resume-test"
+    real_mark_done = JobLog.mark_done
+
+    def dying_mark_done(self, task_id, record):
+        raise RuntimeError("simulated crash after commit, before ack")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError):
+        rewrite_sorted(t, target_rows_per_file=2000, quality_gate=True, job_id=job)
+    v_after_crash = t.current_version()
+    h = _content_hash(t)
+    assert t.scan().count() == 4000  # quarantined file already excluded
+
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    r = rewrite_sorted(t, target_rows_per_file=2000, quality_gate=True, job_id=job)
+    assert r["skipped"] == 1 and r["tasks"] == 0  # commit landed → ack only
+    assert t.current_version() == v_after_crash
+    assert _content_hash(t) == h
+    assert len(t.snapshot().quarantine) == 1
 
 
 def test_merge_upserts_and_inserts(spark, table):
