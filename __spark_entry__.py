@@ -450,6 +450,170 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(both, "vec_id", "embedding", query, k=10, max_hamming=3)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands sessionization (operators/sessions.py): one
+    # shuffle on user_id, two window passes, microsecond-exact gaps.
+    from datalakequality_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_seconds=1800).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round("span_seconds", 6).alias("span_seconds"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join via the union-and-carry-forward plan (ONE shuffle,
+    # O(n) per key) — each purchase gets the latest click at-or-before
+    # it for the same user; DuckDB's native ASOF JOIN is the oracle.
+    from datalakequality_spark.operators.sessions import asof_join, ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    j = asof_join(purchases, clicks, "user_id", "ts", ["click_id", "value"])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_event_id"),
+        F.round("asof_value", 6).alias("click_value"),
+        (ts_micros(j, "ts") - ts_micros(j, "asof_ts")).alias("gap_us"),
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-window context chunking (map-side explode, no shuffle);
+    # window=16 so sf0.01 docs split into several chunks each.
+    from datalakequality_spark.operators.textanalysis import pack_chunks, token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_toks")
+    )
+    out = pack_chunks(d, "doc_id", "n_toks", window=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # THE north_rule flagship op in the correctness gate: a REAL
+    # copy-on-write MERGE INTO through IceMiniTable (manifest pruning,
+    # affected-file discovery, conflict-checked commit), on sequences
+    # derived deterministically from `documents` so plain SQL can
+    # reproduce the merged state. tok_sum certifies the token arrays
+    # element-wise (token-array-equality invariant, summed).
+    import tempfile
+
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    # NOTE: each select pre-projects `raw_id` under a name distinct
+    # from the output `doc_id` alias — Spark's lateral-column-alias
+    # resolution would otherwise bind `doc_id` inside the token lambda
+    # to the freshly aliased STRING column, silently shifting the
+    # insert ids (observed: tokens computed off raw_id + 2,000,000).
+    def _mk(rows: DataFrame, raw_id, n_tok, mult: int, source) -> DataFrame:
+        base = rows.select(
+            raw_id.cast("long").alias("raw_id"),
+            n_tok.cast("int").alias("nt"),
+            source.alias("src"),
+        )
+        return base.select(
+            F.col("raw_id").cast("string").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.col("nt")),
+                lambda i: ((F.col("raw_id") * mult + i) % 50257).cast("int"),
+            ).alias("tokens"),
+            F.col("nt").alias("n_tok"),
+            F.col("src").alias("source"),
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 7919) % 509 + 1, 31, F.col("source")
+    )
+    updates = _mk(
+        d.where(F.col("doc_id") % 3 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 7919) % 509 + 8,
+        37,
+        F.col("source"),
+    )
+    inserts = _mk(
+        d.where(F.col("doc_id") < 50),
+        F.col("doc_id") + 1_000_000,
+        F.col("doc_id") % 97 + 1,
+        41,
+        F.lit("new"),
+    )
+
+    root = tempfile.mkdtemp(prefix="dlq-merge-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    merge_into(t, updates.unionByName(inserts))
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-shaped ANN (coarse cells + multi-probe + exact re-rank) over
+    # the same planted-neighbor construction as ann_topk; the oracle is
+    # brute-force SQL top-10 — hash_match certifies IVF == exact.
+    from datalakequality_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    query = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    planted = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= 10))
+        .select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.zip_with(
+                qlit, F.col("embedding"), lambda q, n: q + F.lit(0.15) * n
+            ).alias("embedding"),
+        )
+    )
+    both = emb.unionByName(planted)
+    return ivf_topk(both, "vec_id", "embedding", query, k=10, n_centroids=16, n_probe=6)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing in the correctness gate: binary payload →
+    # mapInPandas Arrow batches → deterministic fake features (sha256
+    # bytes). byte_sum reverses the /255 float scaling so the check is
+    # integer-exact; DuckDB recomputes it from sha256 hex.
+    from datalakequality_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    feats = extract_features(d, "payload", "doc_id")
+    return feats.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("features", lambda x: F.round(x.cast("double") * 255).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("byte_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_summary": q_profile_summary,
@@ -477,6 +641,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_dupes": q_embedding_dupes,
         "ann_topk": q_ann_topk,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "pack_chunks": q_pack_chunks,
+        "merge_upsert": q_merge_upsert,
+        "ivf_ann": q_ivf_ann,
+        "media_features": q_media_features,
     }
 
 
@@ -836,6 +1006,107 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+        """,
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), g AS (
+              SELECT user_id, us,
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round((max(us) - min(us)) / 1000000.0, 6) AS span_seconds
+            FROM g GROUP BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id, ts, value FROM events
+                  WHERE event_type = 'click')
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   c.click_id AS click_event_id,
+                   round(c.value, 6) AS click_value,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "pack_chunks": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     END AS n
+              FROM documents
+            ), e AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(
+                       0, CAST(greatest(ceil(n / 16.0), 1) AS BIGINT) - 1
+                     )) AS chunk_id
+              FROM d
+            )
+            SELECT doc_id, chunk_id,
+                   least(n - chunk_id * 16, 16) AS chunk_tokens
+            FROM e
+        """,
+        "merge_upsert": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 7919) % 509 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 31 AS mult
+              FROM documents
+            ), src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 7919) % 509 + 8 AS n_tok, source,
+                     doc_id AS raw_id, 37 AS mult
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 1000000 AS VARCHAR),
+                     doc_id % 97 + 1, 'new', doc_id + 1000000, 41
+              FROM documents WHERE doc_id < 50
+            ), merged AS (
+              SELECT * FROM src
+              UNION ALL
+              SELECT * FROM tgt
+              WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM merged
+        """,
+        "ivf_ann": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            planted AS (
+              SELECT vec_id + 100000 AS vec_id,
+                     [qv[i] + 0.15 * (embedding::DOUBLE[])[i]
+                      for i in generate_series(1, len(qv))] AS v
+              FROM embeddings, q WHERE vec_id BETWEEN 1 AND 10),
+            allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                     UNION ALL SELECT vec_id, v FROM planted)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM allv, q ORDER BY cosine DESC, vec_id ASC LIMIT 10
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   CAST(list_sum([
+                     (strpos('0123456789abcdef',
+                             substr(sha256(text), 2 * i - 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(sha256(text), 2 * i, 1)) - 1)
+                     for i in generate_series(1, 16)]) AS BIGINT) AS byte_sum
+            FROM documents
         """,
     }
 

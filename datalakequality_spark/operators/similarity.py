@@ -15,6 +15,7 @@ only matching files.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module scope: pandas_udf resolves stringified hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +58,56 @@ def cosine_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors into ``n_centroids``
+    cells, probe the ``n_probe`` cells nearest the query, exact-rank
+    inside them.
+
+    The coarse quantizer is a deterministic random-projection codebook
+    (unit Gaussian centroids, seeded) rather than trained k-means —
+    assignment quality is what LSH gives, but the *query path* is the
+    IVF shape: at scale the cell id is materialized as a table column,
+    the table is clustered on it, and a probe reads only
+    n_probe/n_centroids of the files via manifest pruning (the same
+    file-skipping path IceMiniTable.prune_entries implements for
+    n_tok). Assignment is one Arrow-batched numpy matmul per partition
+    (vectorized pandas UDF); ranking reuses the JVM cosine expression.
+    """
+    from pyspark.sql import types as T
+
+    dim = len(query)
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def _cell(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
+        sims = mat @ cents.T  # cosine ∝ dot: centroids are unit-norm
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        np.divide(sims, norms, out=sims, where=norms > 0)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    q = np.asarray(query, dtype=np.float64)
+    qsims = cents @ (q / np.linalg.norm(q))
+    probe_cells = [int(c) for c in np.argsort(-qsims)[:n_probe]]
+
+    candidates = (
+        df.select(F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("__cell"))
+        .where(F.col("__cell").isin(probe_cells))
+    )
+    return cosine_topk(candidates, id_col, vec_col, query, k)
 
 
 def ann_topk(

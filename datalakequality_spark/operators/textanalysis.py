@@ -112,6 +112,39 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    n_tok_col: Column | str,
+    window: int = 2048,
+) -> DataFrame:
+    """Fixed-window chunking for context-length preparation: a document
+    of N tokens becomes ceil(N/window) chunk rows (doc_id, chunk_id,
+    chunk_tokens), the last chunk holding the remainder. Zero-token
+    docs emit one empty chunk (so no document silently disappears).
+
+    Pure explode of a generated index sequence — map-side only, no
+    shuffle; at 100 TB this parallelizes with the scan. The actual
+    token-array slicing (``F.slice(tokens, ...)``) composes on top when
+    the tokens column is materialized; this operator owns the chunk
+    arithmetic.
+    """
+    n = F.col(n_tok_col) if isinstance(n_tok_col, str) else n_tok_col
+    n_chunks = F.greatest(F.ceil(n / F.lit(window)), F.lit(1)).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        n.alias("__n_tok"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.least(
+            F.col("__n_tok") - F.col("chunk_id") * window, F.lit(window)
+        ).cast("int").alias("chunk_tokens"),
+    )
+
+
 def content_fingerprint(col: Column) -> Column:
     """Exact-content fingerprint: 64-bit hash of the
     whitespace-normalized, lowercased text — the exact-dedup key."""
