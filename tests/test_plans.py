@@ -107,6 +107,28 @@ def test_top_customers_aqe_broadcasts(spark):
     assert "broadcast" not in _optimized(df).lower()  # no forced hint
 
 
+def test_cluster_rewrite_single_range_exchange(spark, tmp_path):
+    """The (fused) sorted rewrite's data path is ONE range exchange +
+    within-partition sort + ONE Arrow UDF for the curve key — no extra
+    shuffles sneak in around the clustering."""
+    from datalakequality_spark.functions.spacecurves import with_cluster_key
+    from datalakequality_spark.sources.datagen import generate_sequences
+
+    path = str(tmp_path / "seq")
+    generate_sequences(spark, 2000).write.parquet(path)
+    df = spark.read.parquet(path)
+    clustered = (
+        with_cluster_key(df, method="zorder")
+        .repartitionByRange(4, "__cluster_key")
+        .sortWithinPartitions("__cluster_key")
+        .drop("__cluster_key")
+    )
+    plan = _plan(clustered)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
 def test_minhash_single_tokenization(spark):
     """The MinHash path sends ONE token-hash array per row through ONE
     Arrow UDF — no shingle-string expression tree in the plan."""

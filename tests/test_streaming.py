@@ -96,6 +96,61 @@ def test_windowed_counts_plan(spark):
     assert "window" in agg.columns and "n_rows" in agg.columns
 
 
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close in-batch
+    when a later event exceeds the gap, AND idle sessions flush via the
+    event-time timeout once the watermark passes last_event + gap —
+    each emitted exactly once, append-only."""
+    import datetime as dt
+
+    from datalakequality_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # batch 1: user 1, two events 10s apart (one open session)
+    spark.createDataFrame(
+        [(1, ts(0)), (1, ts(10))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: user 1 much later → closes session 0 in-batch
+    spark.createDataFrame(
+        [(1, ts(10_000))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: far-future other user → watermark passes user 1's
+    # timeout → open session 1 flushes via EventTimeTimeout
+    spark.createDataFrame(
+        [(99, ts(100_000))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["start_ts"], r["end_ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (1, 0, 2, ts(0), ts(10)),          # closed by the batch-2 gap
+        (1, 1, 1, ts(10_000), ts(10_000)),  # flushed by the timeout
+    ]
+
+
 def test_many_microbatches_flat_epoch_cost(spark, tmp_path):
     """50 micro-batches: epoch bookkeeping reads table metadata ONCE per
     stream lifetime (not O(#snapshots) per batch), and every epoch lands
