@@ -29,6 +29,20 @@ query now runs the exact-quadratic oracle path on a fixed 500-doc
 slice (the operator raises above ``max_docs`` and routes large corpora
 to MinHash) — not an engine speedup. The r2 minhash/simhash kernel
 gains (13.6 s → 2.1 s etc.) were real kernel work.
+
+r3: the cycle switched to the fused sorted rewrite. Controlled
+same-session comparison at 200k rows / local[32] (old compact_table +
+cluster_table vs rewrite_sorted, identical input and gate): 198.9 s vs
+65.1 s = **3.06×** — a real engine change (half the read/write volume,
+one shuffle instead of shuffle + 48 single-task jobs). Host-window
+variance on this box remains one-sided and large (the same r3 bench
+measured 120.8 s and 62.3 s cycles two runs apart), so compare
+round-over-round JSONs with that spread in mind; the r2 headline
+"18.1 s cycle" landed in an unusually good window. Six new queries
+(sessionize, asof_join, pack_chunks, merge_upsert, ivf_ann,
+media_features) were added to the suite in r3, so the suite total is
+not comparable to r2; merge_upsert runs a REAL copy-on-write MERGE on
+a temp table, so its timing includes table writes by design.
 """
 
 from __future__ import annotations

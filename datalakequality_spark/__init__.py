@@ -8,18 +8,22 @@ scale:
 
 - ``operators/``   — quality kernels (profiling, contracts, PII, outliers,
   drift/PSI, schema-change, scoring, autofix) plus training-data-pipeline
-  operators (dedup, similarity search, text analysis, multimodal plumbing).
+  operators (dedup, similarity search, text analysis, context chunking,
+  sessionization, as-of join, multimodal plumbing).
 - ``sources/``     — the "IceMini" table format (Parquet data files + JSON
   manifests/snapshots + atomic version pointer), deterministic synthetic
   sequence generation, and cross-run state (contracts/baselines/history).
 - ``maintenance/`` — bin-packing compaction, Z-order/Hilbert clustering,
-  MERGE INTO (copy-on-write), snapshot expiration with reachability GC,
+  a fused one-pass sorted rewrite (compact+cluster), MERGE INTO
+  (copy-on-write), snapshot expiration with reachability GC,
   per-partition lineage log + resume.
 - ``plans/``       — orchestration (quality-gate pipeline mirroring the
   reference's run order, maintenance job planner).
 - ``functions/``   — reusable column expressions (z-order keys, hashes,
   text metrics) and report narration.
-- ``streaming/``   — Structured Streaming ingest into IceMini tables.
+- ``streaming/``   — Structured Streaming ingest into IceMini tables,
+  watermarked window aggregation, stateful sessionization
+  (applyInPandasWithState).
 
 Everything is DataFrame/SQL-first: Catalyst owns the physical plan, Python
 touches data only through Arrow-vectorized pandas UDFs.
