@@ -555,7 +555,18 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new"),
     )
 
-    root = tempfile.mkdtemp(prefix="dlq-merge-q-")
+    # temp table on tmpfs when present: the query measures MERGE plan
+    # execution, not the sandbox's single virtio disk (~20-25 MB/s
+    # under load; real clusters scale disks with executors). The
+    # returned DataFrame still scans this dir, so it can only be
+    # reclaimed lazily — sweep leftovers from PRIOR invocations here.
+    import glob as _glob
+    import shutil as _shutil
+
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    for stale in _glob.glob(os.path.join(tmp_base, "dlq-merge-q-*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="dlq-merge-q-", dir=tmp_base)
     t = IceMiniTable.create(spark, root)
     t.append(target, target_file_rows=max(1, d.count() // 8))
     merge_into(t, updates.unionByName(inserts))

@@ -65,7 +65,33 @@ N_ROWS = int(os.environ.get("BENCH_ROWS", str(max(20_000, int(2_000_000 * _SF)))
 MEAN_TOKENS = float(os.environ.get("BENCH_MEAN_TOKENS", "256"))
 
 
+def _work_root() -> str:
+    """Maintenance-cycle working directory. Defaults to tmpfs
+    (/dev/shm) when present: the sandbox's single virtio disk sustains
+    ~20-25 MB/s under load — a wall a real N→4N cluster does not have
+    (disks scale with executors), and one that additionally distorts
+    the query-suite timings that follow via dirty-page writeback.
+    tmpfs stands in for the cluster's scale-with-executors storage;
+    set BENCH_WORK_DIR to force a disk path (BENCH/BASELINE.md reports
+    both modes)."""
+    base = os.environ.get("BENCH_WORK_DIR")
+    if base is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else os.path.dirname(
+            os.path.abspath(__file__)
+        )
+    return os.path.join(base, f"dlq_bench_work_{os.getpid()}")
+
+
 def run_maintenance(spark) -> dict:
+    root = _work_root()
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        return _run_maintenance_in(spark, root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_maintenance_in(spark, root: str) -> dict:
     from datalakequality_spark.maintenance.clustering import rewrite_sorted
     from datalakequality_spark.maintenance.merge import merge_into
     from datalakequality_spark.sources.datagen import (
@@ -73,9 +99,6 @@ def run_maintenance(spark) -> dict:
         generate_sequences,
     )
     from datalakequality_spark.sources.icemini import IceMiniTable
-
-    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_work")
-    shutil.rmtree(root, ignore_errors=True)
 
     t = IceMiniTable.create(spark, root)
     # small-files layout: ~160 files so the rewrite has real packing work
@@ -105,6 +128,7 @@ def run_maintenance(spark) -> dict:
     out = {
         "maintain_rows": rows,
         "maintain_sec": round(total, 3),
+        "work_dir": "tmpfs" if root.startswith("/dev/shm") else "disk",
         # fused compact+cluster (one pass; see module docstring) — the
         # r1/r2 JSONs reported these as separate compact_sec/cluster_sec
         "rewrite_sorted_sec": round(t1 - t0, 3),
@@ -112,7 +136,6 @@ def run_maintenance(spark) -> dict:
         "expire_sec": round(t3 - t2, 3),
         "sequences_per_sec": round(N_ROWS / total, 1),
     }
-    shutil.rmtree(root, ignore_errors=True)
     return out
 
 
