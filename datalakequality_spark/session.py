@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill blocks on tmpfs when present: this sandbox's /tmp is
+    # on a single virtio disk (~20-25 MB/s sustained under load) — every
+    # shuffle would serialize behind it, a wall a real cluster's
+    # per-executor NVMe local dirs do not have. Spark removes its
+    # spark-<uuid> dir on clean shutdown; SPARK_GRAFT_LOCAL_DIR overrides.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/dlq_spark_local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -349,30 +349,139 @@ class IceMiniTable:
     def write_data_files(self, df: DataFrame, prefix: str | None = None) -> list[FileEntry]:
         """Write a DataFrame as new (uncommitted) data files, return stats.
 
+        ONE distributed job — the Iceberg writer-task model (Spark's
+        SparkWrite/DataWriter returns DataFile structs with stats): each
+        task streams its partition through a pyarrow ParquetWriter into
+        its own data file and emits one stats row (rows, token sum,
+        min/max of the pruning columns) accumulated from the batches it
+        wrote. This replaces the old write job + driver rename loop +
+        second stats scan with a single pass; within-partition row order
+        (the clustering sort) is preserved because Arrow batches arrive
+        and are written in order.
+
         Files land in data/ under a fresh uuid prefix; they become live
-        only when a subsequent commit references them (orphans are swept
-        by expire_snapshots' reachability GC).
+        only when a subsequent commit references them. Tasks write to an
+        attempt-unique ``.inprogress-*`` temp and atomically rename to
+        the deterministic per-partition final name, so retried tasks
+        can't duplicate files; stale temps and never-committed orphans
+        are swept by expire_snapshots' reachability GC.
         """
         prefix = prefix or uuid.uuid4().hex
-        stage = os.path.join(self.data_dir, f".stage-{prefix}")
-        (
-            df.select("doc_id", "tokens", "n_tok", "source")
-            .write.mode("overwrite")
-            .parquet(stage)
+        data_dir = self.data_dir
+        root = self.root
+        stats_schema = (
+            "path string, rows long, token_count long, size_bytes long, "
+            "min_n_tok int, max_n_tok int, min_source string, max_source string, "
+            "min_doc_id string, max_doc_id string"
         )
-        finals = []
-        n = 0
-        for p in sorted(glob.glob(os.path.join(stage, "part-*.parquet"))):
-            final = os.path.join(self.data_dir, f"{prefix}-{n:05d}.parquet")
-            os.rename(p, final)
-            finals.append(final)
-            n += 1
-        for leftover in glob.glob(os.path.join(stage, "*")) + [stage]:
-            try:
-                os.remove(leftover) if os.path.isfile(leftover) else os.rmdir(leftover)
-            except OSError:
-                pass
-        return self.compute_file_stats(finals)
+
+        def _write(batches):
+            import os as _os
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            final = _os.path.join(data_dir, f"{prefix}-{ctx.partitionId():05d}.parquet")
+            tmp = _os.path.join(
+                data_dir,
+                f".inprogress-{prefix}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}",
+            )
+            writer = None
+            buf: list = []
+            buffered = rows = token_count = 0
+            mins: dict = {"n_tok": None, "source": None, "doc_id": None}
+            maxs: dict = {"n_tok": None, "source": None, "doc_id": None}
+
+            def _flush():
+                nonlocal writer, buf, buffered
+                if not buf:
+                    return
+                tbl = pa.Table.from_batches(buf)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tbl.schema, compression="zstd")
+                writer.write_table(tbl)
+                buf, buffered = [], 0
+
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                rows += batch.num_rows
+                token_count += pc.sum(batch.column("n_tok")).as_py() or 0
+                for name in ("n_tok", "source", "doc_id"):
+                    mm = pc.min_max(batch.column(name))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None:
+                        mins[name] = lo if mins[name] is None else min(mins[name], lo)
+                    if hi is not None:
+                        maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
+                buf.append(batch)
+                buffered += batch.num_rows
+                # ~128k-row row groups: granular enough for row-group
+                # pruning, coarse enough to keep footers small
+                if buffered >= 128_000:
+                    _flush()
+            _flush()
+            if writer is None:
+                return  # empty partition → no file
+            writer.close()
+            _os.rename(tmp, final)
+            # explicit schema: the batch's Arrow types must match the
+            # declared stats schema exactly (int32 vs inferred int64)
+            out_schema = pa.schema(
+                [
+                    ("path", pa.string()),
+                    ("rows", pa.int64()),
+                    ("token_count", pa.int64()),
+                    ("size_bytes", pa.int64()),
+                    ("min_n_tok", pa.int32()),
+                    ("max_n_tok", pa.int32()),
+                    ("min_source", pa.string()),
+                    ("max_source", pa.string()),
+                    ("min_doc_id", pa.string()),
+                    ("max_doc_id", pa.string()),
+                ]
+            )
+            yield pa.RecordBatch.from_pylist(
+                [
+                    {
+                        "path": final,
+                        "rows": rows,
+                        "token_count": token_count,
+                        "size_bytes": _os.path.getsize(final),
+                        "min_n_tok": mins["n_tok"],
+                        "max_n_tok": maxs["n_tok"],
+                        "min_source": mins["source"],
+                        "max_source": maxs["source"],
+                        "min_doc_id": mins["doc_id"],
+                        "max_doc_id": maxs["doc_id"],
+                    }
+                ],
+                schema=out_schema,
+            )
+
+        stat_rows = (
+            df.select(*SEQUENCES_SCHEMA.fieldNames())
+            .mapInArrow(_write, stats_schema)
+            .collect()
+        )
+        return [
+            FileEntry(
+                path=os.path.relpath(r["path"], root),
+                rows=int(r["rows"]),
+                token_count=int(r["token_count"]),
+                size_bytes=int(r["size_bytes"]),
+                min_n_tok=r["min_n_tok"],
+                max_n_tok=r["max_n_tok"],
+                min_source=r["min_source"],
+                max_source=r["max_source"],
+                min_doc_id=r["min_doc_id"],
+                max_doc_id=r["max_doc_id"],
+            )
+            for r in sorted(stat_rows, key=lambda r: r["path"])
+        ]
 
     def append(self, df: DataFrame, target_file_rows: int | None = None) -> Snapshot:
         if target_file_rows:
@@ -448,6 +557,12 @@ class IceMiniTable:
             retained_files.update(q["path"] for q in snap.quarantine if "path" in q)
 
         deleted_files, deleted_manifests, deleted_snapshots = [], [], []
+        # stale writer temps from failed/retried tasks (never renamed)
+        for p in glob.glob(os.path.join(self.data_dir, ".inprogress-*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):
             rel = os.path.relpath(p, self.root)
             if rel not in retained_files:
