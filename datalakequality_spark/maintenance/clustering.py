@@ -1,17 +1,28 @@
 """Z-order / Hilbert clustering rewrite (north_star M4).
 
 Reads the live snapshot, computes the space-filling-curve key
-(functions/spacecurves.py — one Arrow UDF), then
-``repartitionByRange(num_files, key).sortWithinPartitions(key)``:
-the range exchange gives globally ordered, equal-sized output files and
-the within-partition sort gives tight per-file (source, n_tok, doc_id)
-min/max stats, which is exactly what manifest-level pruning
-(IceMiniTable.prune_entries) needs.
+(functions/spacecurves.py — one Arrow UDF), assigns each row a range
+bucket from pre-sampled key quantiles, hash-exchanges on the bucket id
+and sorts within partitions; the fanout writer
+(IceMiniTable.write_data_files split_col) cuts one file per bucket.
+Output files are globally range-ordered on the curve key with tight
+per-file (source, n_tok, doc_id) min/max stats, which is exactly what
+manifest-level pruning (IceMiniTable.prune_entries) needs.
 
-Scale: one shuffle (range exchange with sampled bounds — skew-resistant
-by construction since bounds come from sampling the key itself), one
-sort, one write. At 10^12 rows this is the dominant maintenance cost;
-it parallelizes perfectly because the key is computed map-side.
+Why not ``repartitionByRange`` directly: Spark's range exchange runs a
+separate sampling job over the FULL child plan — here that means
+decoding every token array and evaluating the curve UDF over all rows
+twice. Sampling the three light key dims first (column pruning keeps
+the tokens column untouched) and bucketing by the sampled quantile
+bounds gets the same layout for one heavy pass plus one ~1% sample
+pass. Bucket sizes stay balanced because bounds come from quantiles of
+the key itself (skew-resistant by construction), and AQE is free to
+coalesce the hash exchange into fewer, fuller write tasks without
+changing the file count.
+
+Scale: one sample pass (light columns), one shuffle, one sort, one
+write. At 10^12 rows this is the dominant maintenance cost; it
+parallelizes perfectly because the key is computed map-side.
 
 Resumable: clustering commits per source-partition group when
 ``group_by_source=True`` (each group = one lineage task), else a single
@@ -23,9 +34,53 @@ from __future__ import annotations
 import uuid
 from typing import Any
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from ..functions.spacecurves import with_cluster_key
 from ..sources.icemini import IceMiniTable, SEQUENCES_SCHEMA
 from .lineage import JobLog
+
+
+def _cluster_and_bucket(
+    spark,
+    paths: list[str],
+    method: str,
+    num_files: int,
+    total_rows: int,
+) -> DataFrame:
+    """Read ``paths``, add the curve key, and return a DataFrame hash-
+    partitioned on a ``__pid`` range-bucket column and sorted by
+    (``__pid``, key) within partitions — ready for the fanout writer
+    (``write_data_files(..., split_col="__pid")``).
+
+    Bucket bounds are ``num_files``-quantiles of the curve key over a
+    seeded sample of the three key dims only (pruned scan: token arrays
+    are never decoded in the sample pass).
+    """
+    df = spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+    keyed = with_cluster_key(df, method=method)
+    bounds: list[int] = []
+    if num_files > 1:
+        # ~500 sampled keys per bucket bounds the bucket-size error well
+        # below the parquet row-group size; cap the sample at full scan
+        frac = min(1.0, (num_files * 500) / max(total_rows, 1))
+        dims = df.select("source", "n_tok", "doc_id").sample(frac, seed=42)
+        skeys = with_cluster_key(dims, method=method)
+        qs = [i / num_files for i in range(1, num_files)]
+        raw = skeys.approxQuantile("__cluster_key", qs, 0.25 / num_files)
+        bounds = sorted({int(b) for b in raw})
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(arr, lambda b: b < F.col("__cluster_key")))
+    else:
+        pid = F.lit(0)
+    return (
+        keyed.withColumn("__pid", pid)
+        .repartition("__pid")
+        .sortWithinPartitions("__pid", "__cluster_key")
+        .drop("__cluster_key")
+    )
 
 
 def rewrite_sorted(
@@ -105,14 +160,14 @@ def rewrite_sorted(
 
         if live_inputs:
             paths = [table._abs(e.path) for e in live_inputs]
-            df = table.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
-            keyed = with_cluster_key(df, method=task.get("method", method))
-            clustered = (
-                keyed.repartitionByRange(task["num_files"], "__cluster_key")
-                .sortWithinPartitions("__cluster_key")
-                .drop("__cluster_key")
+            clustered = _cluster_and_bucket(
+                table.spark,
+                paths,
+                task.get("method", method),
+                task["num_files"],
+                sum(e.rows for e in live_inputs),
             )
-            new_entries = table.write_data_files(clustered)
+            new_entries = table.write_data_files(clustered, split_col="__pid")
         else:
             new_entries = []
         record = {
@@ -176,14 +231,16 @@ def cluster_table(
             continue
 
         paths = [table._abs(p) for p in inputs]
-        df = table.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
-        keyed = with_cluster_key(df, method=task.get("method", method))
-        clustered = (
-            keyed.repartitionByRange(task["num_files"], "__cluster_key")
-            .sortWithinPartitions("__cluster_key")
-            .drop("__cluster_key")
+        by_path = {e.path: e for e in table.live_entries()}
+        total_rows = sum(by_path[p].rows for p in inputs if p in by_path)
+        clustered = _cluster_and_bucket(
+            table.spark,
+            paths,
+            task.get("method", method),
+            task["num_files"],
+            total_rows,
         )
-        new_entries = table.write_data_files(clustered)
+        new_entries = table.write_data_files(clustered, split_col="__pid")
         record = {
             "task_id": tid,
             "input_files": inputs,

@@ -136,9 +136,26 @@ def gate_batch(
     """Run the per-file quality gate (plans/quality_gate.gate_files) over
     one batch's input files — ONE grouped aggregation — and split out
     quarantined files. Returns (clean bins, quarantine records)."""
+    import math
+
     from ..plans.quality_gate import gate_files, parquet_null_counts
 
+    entries = [e for b in bins for e in b]
     paths = [table._abs(e.path) for b in bins for e in b]
+    tokens_nulls = parquet_null_counts(paths, "tokens")
+    # global z-score stats from manifest moments (Σn_tok, Σn_tok² are in
+    # the file stats) — saves the gate's global-agg data pass. The
+    # denominator must count non-null n_tok only (Spark aggs skip
+    # nulls), so the n_tok null totals come from parquet footers; any
+    # entry from a pre-moments manifest falls back to the in-pass agg.
+    global_stats = None
+    if entries and all(e.sum_sq_n_tok is not None for e in entries):
+        ntok_nulls = parquet_null_counts(paths, "n_tok")
+        n = sum(e.rows for e in entries) - sum(ntok_nulls.values())
+        if n > 0:
+            mean = sum(e.token_count for e in entries) / n
+            var = sum(e.sum_sq_n_tok for e in entries) / n - mean * mean
+            global_stats = (mean, math.sqrt(max(var, 0.0)))
     # scan only the light columns (doc_id for PII, n_tok for outliers);
     # the tokens array's null counts come from parquet footer stats
     df = (
@@ -152,7 +169,7 @@ def gate_batch(
             ).alias("__file"),
         )
     )
-    metrics = gate_files(df, thresholds, parquet_null_counts(paths, "tokens"))
+    metrics = gate_files(df, thresholds, tokens_nulls, global_stats)
     bad = {
         os.path.relpath(p, table.root): m
         for p, m in metrics.items()

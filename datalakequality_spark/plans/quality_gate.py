@@ -228,10 +228,11 @@ def parquet_null_counts(paths: list[str], column: str) -> dict[str, int]:
     without scanning it. O(#files) metadata reads, driver-side; at very
     large file counts distribute with sc.parallelize over the path list.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out: dict[str, int] = {}
-    for p in paths:
+    def one(p: str) -> int:
         md = pq.ParquetFile(p).metadata
         idx = md.schema.names.index(column) if column in md.schema.names else None
         total = 0
@@ -247,7 +248,14 @@ def parquet_null_counts(paths: list[str], column: str) -> dict[str, int]:
             # them) must NOT silently pass the null gate: fall back to an
             # exact count by reading just this column of this file
             total = pq.read_table(p, columns=[column]).column(0).null_count
-        out[p] = total
+        return total
+
+    # footer reads release the GIL in Arrow — a thread pool turns this
+    # serial driver loop into parallel metadata I/O
+    out: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+        for p, total in zip(paths, ex.map(one, paths)):
+            out[p] = total
     return out
 
 
@@ -255,6 +263,7 @@ def gate_files(
     df_with_file: DataFrame,
     thresholds: dict[str, Any] | None = None,
     extra_null_counts: dict[str, int] | None = None,
+    global_stats: tuple[float, float] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """Per-FILE quality metrics in ONE grouped aggregation over
     ``__file`` (populated from input_file_name() by the caller), plus
@@ -274,12 +283,17 @@ def gate_files(
         "max_pii_ratio": 0.05,
         **(thresholds or {}),
     }
-    # global stats first (one tiny job), then per-file agg
-    g = df_with_file.agg(
-        F.avg("n_tok").alias("mean"), F.stddev_pop("n_tok").alias("std")
-    ).first()
-    gmean = float(g["mean"]) if g["mean"] is not None else 0.0
-    gstd = float(g["std"]) if g["std"] is not None else 0.0
+    # global n_tok mean/pop-std for the z-outlier term: from the
+    # caller's manifest moments when available (zero data passes —
+    # Σn_tok and Σn_tok² live in the file stats), else one tiny job
+    if global_stats is not None:
+        gmean, gstd = global_stats
+    else:
+        g = df_with_file.agg(
+            F.avg("n_tok").alias("mean"), F.stddev_pop("n_tok").alias("std")
+        ).first()
+        gmean = float(g["mean"]) if g["mean"] is not None else 0.0
+        gstd = float(g["std"]) if g["std"] is not None else 0.0
 
     z_out = (
         F.abs((F.col("n_tok").cast("double") - gmean) / gstd) > 3.0

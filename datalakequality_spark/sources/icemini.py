@@ -76,6 +76,10 @@ class FileEntry:
     max_source: str | None = None
     min_doc_id: str | None = None
     max_doc_id: str | None = None
+    # Σ n_tok² — lets the quality gate derive GLOBAL mean/std for its
+    # z-outlier check from manifest metadata alone (no data pass);
+    # None on manifests written before this stat existed
+    sum_sq_n_tok: int | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
@@ -315,6 +319,9 @@ class IceMiniTable:
             .agg(
                 F.count(F.lit(1)).alias("rows"),
                 F.sum("n_tok").cast("long").alias("token_count"),
+                F.sum(F.col("n_tok").cast("long") * F.col("n_tok").cast("long")).alias(
+                    "sum_sq_n_tok"
+                ),
                 F.min("n_tok").alias("min_n_tok"),
                 F.max("n_tok").alias("max_n_tok"),
                 F.min("source").alias("min_source"),
@@ -342,35 +349,49 @@ class IceMiniTable:
                     max_source=r["max_source"],
                     min_doc_id=r["min_doc_id"],
                     max_doc_id=r["max_doc_id"],
+                    sum_sq_n_tok=int(r["sum_sq_n_tok"] or 0),
                 )
             )
         return out
 
-    def write_data_files(self, df: DataFrame, prefix: str | None = None) -> list[FileEntry]:
+    def write_data_files(
+        self,
+        df: DataFrame,
+        prefix: str | None = None,
+        split_col: str | None = None,
+    ) -> list[FileEntry]:
         """Write a DataFrame as new (uncommitted) data files, return stats.
 
         ONE distributed job — the Iceberg writer-task model (Spark's
         SparkWrite/DataWriter returns DataFile structs with stats): each
-        task streams its partition through a pyarrow ParquetWriter into
-        its own data file and emits one stats row (rows, token sum,
-        min/max of the pruning columns) accumulated from the batches it
-        wrote. This replaces the old write job + driver rename loop +
-        second stats scan with a single pass; within-partition row order
-        (the clustering sort) is preserved because Arrow batches arrive
-        and are written in order.
+        task streams its Arrow batches through pyarrow ParquetWriters and
+        emits one stats row per file (rows, token sum, min/max of the
+        pruning columns) accumulated from the batches it wrote. Within-
+        partition row order (the clustering sort) is preserved because
+        Arrow batches arrive and are written in order.
+
+        With ``split_col`` (an int column, consumed — not written), a
+        task starts a new file every time the column's value changes, so
+        one task can emit one file per range bucket (the Iceberg fanout-
+        writer model). Rows must arrive sorted by ``split_col`` within
+        the partition and one value must not span partitions (use a hash
+        repartition on the column); file names are derived from the
+        bucket value, so they are stable across retries.
 
         Files land in data/ under a fresh uuid prefix; they become live
         only when a subsequent commit references them. Tasks write to an
         attempt-unique ``.inprogress-*`` temp and atomically rename to
-        the deterministic per-partition final name, so retried tasks
-        can't duplicate files; stale temps and never-committed orphans
-        are swept by expire_snapshots' reachability GC.
+        the deterministic final name, so retried tasks can't duplicate
+        files; stale temps and never-committed orphans are swept by
+        expire_snapshots' reachability GC.
         """
         prefix = prefix or uuid.uuid4().hex
         data_dir = self.data_dir
         root = self.root
+        data_names = list(SEQUENCES_SCHEMA.fieldNames())
         stats_schema = (
-            "path string, rows long, token_count long, size_bytes long, "
+            "path string, rows long, token_count long, sum_sq_n_tok long, "
+            "size_bytes long, "
             "min_n_tok int, max_n_tok int, min_source string, max_source string, "
             "min_doc_id string, max_doc_id string"
         )
@@ -378,63 +399,20 @@ class IceMiniTable:
         def _write(batches):
             import os as _os
 
+            import numpy as np
             import pyarrow as pa
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            final = _os.path.join(data_dir, f"{prefix}-{ctx.partitionId():05d}.parquet")
-            tmp = _os.path.join(
-                data_dir,
-                f".inprogress-{prefix}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}",
-            )
-            writer = None
-            buf: list = []
-            buffered = rows = token_count = 0
-            mins: dict = {"n_tok": None, "source": None, "doc_id": None}
-            maxs: dict = {"n_tok": None, "source": None, "doc_id": None}
-
-            def _flush():
-                nonlocal writer, buf, buffered
-                if not buf:
-                    return
-                tbl = pa.Table.from_batches(buf)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, tbl.schema, compression="zstd")
-                writer.write_table(tbl)
-                buf, buffered = [], 0
-
-            for batch in batches:
-                if batch.num_rows == 0:
-                    continue
-                rows += batch.num_rows
-                token_count += pc.sum(batch.column("n_tok")).as_py() or 0
-                for name in ("n_tok", "source", "doc_id"):
-                    mm = pc.min_max(batch.column(name))
-                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
-                    if lo is not None:
-                        mins[name] = lo if mins[name] is None else min(mins[name], lo)
-                    if hi is not None:
-                        maxs[name] = hi if maxs[name] is None else max(maxs[name], hi)
-                buf.append(batch)
-                buffered += batch.num_rows
-                # ~128k-row row groups: granular enough for row-group
-                # pruning, coarse enough to keep footers small
-                if buffered >= 128_000:
-                    _flush()
-            _flush()
-            if writer is None:
-                return  # empty partition → no file
-            writer.close()
-            _os.rename(tmp, final)
-            # explicit schema: the batch's Arrow types must match the
-            # declared stats schema exactly (int32 vs inferred int64)
+            attempt = ctx.taskAttemptId()
             out_schema = pa.schema(
                 [
                     ("path", pa.string()),
                     ("rows", pa.int64()),
                     ("token_count", pa.int64()),
+                    ("sum_sq_n_tok", pa.int64()),
                     ("size_bytes", pa.int64()),
                     ("min_n_tok", pa.int32()),
                     ("max_n_tok", pa.int32()),
@@ -444,29 +422,113 @@ class IceMiniTable:
                     ("max_doc_id", pa.string()),
                 ]
             )
-            yield pa.RecordBatch.from_pylist(
-                [
-                    {
-                        "path": final,
-                        "rows": rows,
-                        "token_count": token_count,
-                        "size_bytes": _os.path.getsize(final),
-                        "min_n_tok": mins["n_tok"],
-                        "max_n_tok": maxs["n_tok"],
-                        "min_source": mins["source"],
-                        "max_source": maxs["source"],
-                        "min_doc_id": mins["doc_id"],
-                        "max_doc_id": maxs["doc_id"],
-                    }
-                ],
-                schema=out_schema,
-            )
+            results: list[dict] = []
+            cur: dict | None = None
 
-        stat_rows = (
-            df.select(*SEQUENCES_SCHEMA.fieldNames())
-            .mapInArrow(_write, stats_schema)
-            .collect()
-        )
+            def _open(group: int) -> dict:
+                return {
+                    "group": group,
+                    "final": _os.path.join(data_dir, f"{prefix}-{group:05d}.parquet"),
+                    "tmp": _os.path.join(
+                        data_dir, f".inprogress-{prefix}-{group:05d}-{attempt}"
+                    ),
+                    "writer": None,
+                    "buf": [],
+                    "buffered": 0,
+                    "rows": 0,
+                    "token_count": 0,
+                    "sum_sq": 0,
+                    "mins": {"n_tok": None, "source": None, "doc_id": None},
+                    "maxs": {"n_tok": None, "source": None, "doc_id": None},
+                }
+
+            def _flush(st: dict) -> None:
+                if not st["buf"]:
+                    return
+                tbl = pa.Table.from_batches(st["buf"])
+                if st["writer"] is None:
+                    st["writer"] = pq.ParquetWriter(
+                        st["tmp"], tbl.schema, compression="zstd"
+                    )
+                st["writer"].write_table(tbl)
+                st["buf"], st["buffered"] = [], 0
+
+            def _feed(st: dict, batch) -> None:
+                if batch.num_rows == 0:
+                    return
+                st["rows"] += batch.num_rows
+                st["token_count"] += pc.sum(batch.column("n_tok")).as_py() or 0
+                nt64 = pc.cast(batch.column("n_tok"), pa.int64())
+                st["sum_sq"] += pc.sum(pc.multiply(nt64, nt64)).as_py() or 0
+                for name in ("n_tok", "source", "doc_id"):
+                    mm = pc.min_max(batch.column(name))
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is not None:
+                        st["mins"][name] = (
+                            lo if st["mins"][name] is None else min(st["mins"][name], lo)
+                        )
+                    if hi is not None:
+                        st["maxs"][name] = (
+                            hi if st["maxs"][name] is None else max(st["maxs"][name], hi)
+                        )
+                st["buf"].append(batch)
+                st["buffered"] += batch.num_rows
+                # ~128k-row row groups: granular enough for row-group
+                # pruning, coarse enough to keep footers small
+                if st["buffered"] >= 128_000:
+                    _flush(st)
+
+            def _close(st: dict) -> None:
+                _flush(st)
+                if st["writer"] is None:
+                    return
+                st["writer"].close()
+                _os.rename(st["tmp"], st["final"])
+                results.append(
+                    {
+                        "path": st["final"],
+                        "rows": st["rows"],
+                        "token_count": st["token_count"],
+                        "sum_sq_n_tok": st["sum_sq"],
+                        "size_bytes": _os.path.getsize(st["final"]),
+                        "min_n_tok": st["mins"]["n_tok"],
+                        "max_n_tok": st["maxs"]["n_tok"],
+                        "min_source": st["mins"]["source"],
+                        "max_source": st["maxs"]["source"],
+                        "min_doc_id": st["mins"]["doc_id"],
+                        "max_doc_id": st["maxs"]["doc_id"],
+                    }
+                )
+
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                if split_col is None:
+                    if cur is None:
+                        cur = _open(ctx.partitionId())
+                    _feed(cur, batch)
+                    continue
+                g = batch.column(split_col).to_numpy(zero_copy_only=False)
+                data = pa.RecordBatch.from_arrays(
+                    [batch.column(n) for n in data_names], names=data_names
+                )
+                cuts = np.flatnonzero(g[1:] != g[:-1]) + 1
+                starts = np.concatenate(([0], cuts))
+                ends = np.concatenate((cuts, [len(g)]))
+                for s, e in zip(starts, ends):
+                    grp = int(g[s])
+                    if cur is None or cur["group"] != grp:
+                        if cur is not None:
+                            _close(cur)
+                        cur = _open(grp)
+                    _feed(cur, data.slice(s, e - s))
+            if cur is not None:
+                _close(cur)
+            if results:
+                yield pa.RecordBatch.from_pylist(results, schema=out_schema)
+
+        cols = data_names + ([split_col] if split_col else [])
+        stat_rows = df.select(*cols).mapInArrow(_write, stats_schema).collect()
         return [
             FileEntry(
                 path=os.path.relpath(r["path"], root),
@@ -479,6 +541,7 @@ class IceMiniTable:
                 max_source=r["max_source"],
                 min_doc_id=r["min_doc_id"],
                 max_doc_id=r["max_doc_id"],
+                sum_sq_n_tok=int(r["sum_sq_n_tok"] or 0),
             )
             for r in sorted(stat_rows, key=lambda r: r["path"])
         ]
