@@ -24,9 +24,8 @@ Scale: one sample pass (light columns), one shuffle, one sort, one
 write. At 10^12 rows this is the dominant maintenance cost; it
 parallelizes perfectly because the key is computed map-side.
 
-Resumable: clustering commits per source-partition group when
-``group_by_source=True`` (each group = one lineage task), else a single
-task.
+Resumable: one lineage task per rewrite; a re-run with the same job_id
+after a crash either acks the landed commit or redoes the pass.
 """
 
 from __future__ import annotations

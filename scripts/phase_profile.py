@@ -74,6 +74,45 @@ def main() -> None:
     spark = get_spark("profile", master=f"local[{args.cpus}]")
     bench._warm_python_workers(spark)
 
+    # host CPU-mode mix per sub-phase: rewrite vs merge (the sampled
+    # /proc/stat deltas attribute kernel-time blowups to a phase)
+    from datalakequality_spark.maintenance import clustering as clustering_mod
+
+    def _stat():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+
+    def _mix(b, a):
+        d = [x - y for x, y in zip(a, b)]
+        tot = sum(d) or 1
+        return {
+            "user": round(100 * (d[0] + d[1]) / tot, 1),
+            "sys": round(100 * (d[2] + d[5] + d[6]) / tot, 1),
+            "idle": round(100 * d[3] / tot, 1),
+            "steal": round(100 * d[7] / tot, 1) if len(d) > 7 else 0.0,
+        }
+
+    MIX: dict[str, list] = {}
+
+    def _mix_patch(mod, name, label):
+        orig = getattr(mod, name)
+
+        def wrapped(*a, **kw):
+            b = _stat()
+            out = orig(*a, **kw)
+            MIX.setdefault(label, []).append(_mix(b, _stat()))
+            return out
+
+        setattr(mod, name, wrapped)
+
+    # bench imports these function-locally at call time, so patching the
+    # module attributes is sufficient
+    _mix_patch(clustering_mod, "rewrite_sorted", "rewrite_mix")
+    _mix_patch(merge_mod, "merge_into", "merge_mix")
+    _mix_patch(clustering_mod, "_cluster_and_bucket", "bucket_plan_mix")
+    _mix_patch(compaction, "gate_batch", "gate_mix")
+    _mix_patch(icemini.IceMiniTable, "write_data_files", "write_mix")
+
     t0 = time.time()
     out = bench.run_maintenance(spark)
     wall = time.time() - t0
@@ -86,6 +125,7 @@ def main() -> None:
         "merge": out["merge_sec"],
         "expire_reported": out["expire_sec"],
         "sub": {k: round(v, 2) for k, v in sorted(TIMES.items())},
+        "cpu_mix": MIX,
         "calls": COUNTS,
         "outer_wall_incl_datagen": round(wall, 2),
     }
