@@ -18,8 +18,18 @@ Two pairs are measured:
   real 4N-executor cluster (4× sockets, 4× memory channels, 4× disks)
   does not have.
 
-Runs are interleaved (2, 8, 32, 2, 8, 32) and best-of-N per level to
-damp the host's transient 3-4× slowdowns symmetrically.
+Measurement design — same-window pairs: this host has multi-minute
+one-sided slow windows (guest sys% 3-6% in good windows vs 30%+ in bad
+ones; kernel-stack sampling attributes them to page-fault/mmap_lock
+storms the engine does not cause). A ratio computed from runs taken in
+different windows measures the host, not the engine. So each repeat
+runs a pair's two levels BACK-TO-BACK (adjacent in time ⇒ usually the
+same window), alternating which level goes first across repeats, and
+the efficiency for that repeat comes from that repeat's own two runs.
+Reported: every per-repeat ratio with its two runs' host sys%/steal%
+(pairs whose two runs differ by >10 sys points straddled a window
+flip), plus the median and best ratio per pair. The throughput table
+keeps best-of-all-runs per level.
 
 Usage:  python scripts/scaling_bench.py [--rows N] [--repeats K]
 Worker: python scripts/scaling_bench.py --worker --cpus 8 --rows N
@@ -36,11 +46,12 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LEVELS = (2, 4, 8, 16, 32)
-# N→4N pairs reported: (2,8) and (4,16) stay within the 16 physical
-# cores; (8,32) crosses into SMT where the host caps at ~2.4× (pure-CPU
-# probe, BENCH/BASELINE.md §3)
+# N→4N pairs: (2,8) and (4,16) stay within the 16 physical cores;
+# (8,32) crosses into SMT where the host caps at ~2.4× (pure-CPU probe,
+# BENCH/BASELINE.md §3). (2,8) is primary and gets an extra repeat.
 PAIRS = ((2, 8), (4, 16), (8, 32))
+PAIR_REPEATS = {(2, 8): 3, (4, 16): 2, (8, 32): 2}
+LEVELS = (2, 4, 8, 16, 32)
 
 
 def worker(cpus: int, rows: int) -> None:
@@ -93,11 +104,36 @@ def _cpu_mix(before: list[int], after: list[int]) -> dict:
     }
 
 
+def _run_level(rows: int, cpus: int, tag: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+         "--rows", str(rows)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = next(
+        (l for l in proc.stdout.splitlines()
+         if l.startswith("SCALING_RESULT ")),
+        None,
+    )
+    if line is None:
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        raise SystemExit(f"worker local[{cpus}] produced no result")
+    r = json.loads(line[len("SCALING_RESULT "):])
+    print(
+        f"{tag} local[{cpus}]: {r['maintain_sec']}s "
+        f"(rewrite {r['rewrite_sorted_sec']} "
+        f"merge {r['merge_sec']} "
+        f"steal {r.get('host_steal_pct', '?')}% "
+        f"sys {r.get('host_sys_pct', '?')}%)", flush=True,
+    )
+    return r
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="runs per parallelism level; best (min) wall kept")
+    ap.add_argument("--repeats", type=int, default=0,
+                    help="override repeats for EVERY pair (0 = per-pair default)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling_cycle.md"))
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int, default=8)
@@ -107,45 +143,76 @@ def main() -> None:
         worker(args.cpus, args.rows)
         return
 
-    results = {}
-    for rep in range(args.repeats):
-        for cpus in LEVELS:
-            proc = subprocess.run(
-                [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-                 "--rows", str(args.rows)],
-                capture_output=True, text=True, timeout=3600,
+    best: dict[int, dict] = {}
+    pair_runs: dict[tuple[int, int], list[dict]] = {p: [] for p in PAIRS}
+    max_reps = max(
+        args.repeats or max(PAIR_REPEATS.values()),
+        1,
+    )
+    for rep in range(max_reps):
+        for pair in PAIRS:
+            reps_wanted = args.repeats or PAIR_REPEATS[pair]
+            if rep >= reps_wanted:
+                continue
+            n, m = pair
+            # alternate which level goes first so slow-window pollution
+            # and thermal drift cannot systematically favor one side
+            order = (n, m) if rep % 2 == 0 else (m, n)
+            got = {}
+            for cpus in order:
+                r = _run_level(args.rows, cpus, f"pair {n}->{m} rep {rep + 1}")
+                got[cpus] = r
+                if cpus not in best or r["maintain_sec"] < best[cpus]["maintain_sec"]:
+                    best[cpus] = r
+            ratio = got[n]["maintain_sec"] / (4 * got[m]["maintain_sec"])
+            pair_runs[pair].append(
+                {
+                    "rep": rep + 1,
+                    "eff": ratio,
+                    "t_n": got[n]["maintain_sec"],
+                    "t_m": got[m]["maintain_sec"],
+                    "sys_n": got[n].get("host_sys_pct"),
+                    "sys_m": got[m].get("host_sys_pct"),
+                    "steal_n": got[n].get("host_steal_pct"),
+                    "steal_m": got[m].get("host_steal_pct"),
+                }
             )
-            line = next(
-                (l for l in proc.stdout.splitlines()
-                 if l.startswith("SCALING_RESULT ")),
-                None,
-            )
-            if line is None:
-                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-                raise SystemExit(f"worker local[{cpus}] produced no result")
-            r = json.loads(line[len("SCALING_RESULT "):])
-            print(
-                f"local[{cpus}] run {rep + 1}: {r['maintain_sec']}s "
-                f"(rewrite {r['rewrite_sorted_sec']} "
-                f"merge {r['merge_sec']} "
-                f"steal {r.get('host_steal_pct', '?')}% "
-                f"sys {r.get('host_sys_pct', '?')}%)", flush=True,
-            )
-            if cpus not in results or r["maintain_sec"] < results[cpus]["maintain_sec"]:
-                results[cpus] = r
+            print(f"pair {n}->{m} rep {rep + 1}: eff {ratio:.3f}", flush=True)
 
-    t = {c: results[c]["maintain_sec"] for c in LEVELS}
-    eff = {f"{n}->{m}": t[n] / (4 * t[m]) for n, m in PAIRS}
-    work = results[LEVELS[0]].get("work_dir", "disk")
+    def _median(xs):
+        xs = sorted(xs)
+        k = len(xs)
+        return xs[k // 2] if k % 2 else (xs[k // 2 - 1] + xs[k // 2]) / 2
+
+    eff = {}
+    for (n, m), runs in pair_runs.items():
+        effs = [r["eff"] for r in runs]
+        eff[f"{n}->{m}"] = {"best": max(effs), "median": _median(effs), "runs": runs}
+    work = best[LEVELS[0]].get("work_dir", "disk")
 
     def row(c):
-        r = results[c]
+        r = best[c]
         return (f"| local[{c}] | {r['shuffle_partitions']} | {r['maintain_sec']} "
                 f"| {r['sequences_per_sec']} | {r['rewrite_sorted_sec']} "
                 f"| {r['merge_sec']} | {r.get('host_steal_pct', '?')} "
                 f"| {r.get('host_sys_pct', '?')} |")
 
     rows_md = "\n".join(row(c) for c in LEVELS)
+
+    def pair_md(n, m):
+        e = eff[f"{n}->{m}"]
+        lines = []
+        for r in e["runs"]:
+            flip = abs((r["sys_n"] or 0) - (r["sys_m"] or 0)) > 10
+            note = " ← window flip between the two runs" if flip else ""
+            lines.append(
+                f"| {n}->{m} | {r['rep']} | {r['eff']:.3f} | {r['t_n']} | "
+                f"{r['t_m']} | {r['sys_n']} / {r['sys_m']} | "
+                f"{r['steal_n']} / {r['steal_m']} |{note}"
+            )
+        return "\n".join(lines)
+
+    pair_detail_md = "\n".join(pair_md(n, m) for n, m in PAIRS)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(f"""# BENCH/scaling_cycle — maintenance-cycle throughput & scaling efficiency
@@ -155,10 +222,11 @@ merge) on the synthetic tokenized-sequence table; scaling efficiency
 N→4N executors ≥ 0.8. Sandbox proxy per the driver instruction (no
 real cluster): the SAME cycle on the SAME deterministic input
 (seed=42, {args.rows:,} rows, mean 128 tokens,
-{results[LEVELS[-1]]['maintain_rows']:,} rows after merge) at
+{best[LEVELS[-1]]['maintain_rows']:,} rows after merge) at
 {len(LEVELS)} local parallelism levels, fresh JVM each, shuffle
-partitions = 2× cores, AQE on everywhere, interleaved order, best of
-{args.repeats} runs per level. Table working dir: **{work}**
+partitions = 2× cores, AQE on everywhere, each N→4N pair run
+back-to-back per repeat (same host window), alternating order.
+Table working dir: **{work}**
 (tmpfs stands in for a cluster's scale-with-executors storage — the
 sandbox's single virtio disk sustains ~20-25 MB/s under load, a wall
 a real 4N-executor cluster does not have; set BENCH_WORK_DIR to
@@ -175,13 +243,23 @@ this overcommitted host has been measured at 22% steal + 39% sys
 (lock-holder preemption) — at high steal the wall time measures the
 host, not the engine.
 
-N→4N efficiencies, eff = T_N / (4 × T_4N), target ≥ 0.8:
+N→4N efficiencies, eff = T_N / (4 × T_4N), target ≥ 0.8. Each repeat's
+ratio comes from two BACK-TO-BACK runs (same host window — this host
+has multi-minute one-sided slow windows, sys% 3-6% good vs 30%+ bad,
+that make cross-window ratios meaningless); median damps repeats that
+straddled a window flip:
 
-| pair | efficiency | note |
-|---|---|---|
-| local[2] → local[8] | **{eff['2->8']:.3f}** | primary — both levels inside the 16 physical cores |
-| local[4] → local[16] | **{eff['4->16']:.3f}** | physical-core pair, 4× within one socket |
-| local[8] → local[32] | {eff['8->32']:.3f} | crosses into SMT: pure-CPU probe caps this host at ~2.4× from 8→32 logical cores (BENCH/BASELINE.md §3), so ≥0.8 is structurally impossible for ANY workload on this pair |
+| pair | best eff | median eff | note |
+|---|---|---|---|
+| local[2] → local[8] | **{eff['2->8']['best']:.3f}** | {eff['2->8']['median']:.3f} | primary — both levels inside the 16 physical cores |
+| local[4] → local[16] | **{eff['4->16']['best']:.3f}** | {eff['4->16']['median']:.3f} | physical-core pair, 4× within one socket |
+| local[8] → local[32] | {eff['8->32']['best']:.3f} | {eff['8->32']['median']:.3f} | crosses into SMT: pure-CPU probe caps this host at ~2.4× from 8→32 logical cores (BENCH/BASELINE.md §3), so ≥0.8 is structurally impossible for ANY workload on this pair |
+
+Per-repeat pair runs (each row = one same-window N,4N pair):
+
+| pair | rep | eff | T_N (s) | T_4N (s) | sys% N / 4N | steal% N / 4N |
+|---|---|---|---|---|---|---|
+{pair_detail_md}
 
 Config: `datalakequality_spark.session.get_spark` defaults — AQE +
 coalescePartitions + skewJoin enabled, Arrow on, zstd parquet,
@@ -195,8 +273,10 @@ data only, so every level does identical work.
 
 Reproduce: `python scripts/scaling_bench.py --rows {args.rows}`
 """)
-    print("  ".join(f"eff({k}): {v:.3f}" for k, v in eff.items())
-          + f" -> {args.out}")
+    print("  ".join(
+        f"eff({k}): best {v['best']:.3f} median {v['median']:.3f}"
+        for k, v in eff.items()
+    ) + f" -> {args.out}")
 
 
 if __name__ == "__main__":
