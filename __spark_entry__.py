@@ -503,6 +503,47 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk(rows: DataFrame, raw_id, n_tok, mult: int, source) -> DataFrame:
+    """Deterministic tokenized sequences from a `documents` projection —
+    SQL-reproducible (tokens[i] = (raw_id*mult + i) % 50257), so DuckDB
+    oracles can certify token arrays via their sum.
+
+    NOTE: each select pre-projects `raw_id` under a name distinct
+    from the output `doc_id` alias — Spark's lateral-column-alias
+    resolution would otherwise bind `doc_id` inside the token lambda
+    to the freshly aliased STRING column, silently shifting the
+    insert ids (observed: tokens computed off raw_id + 2,000,000)."""
+    base = rows.select(
+        raw_id.cast("long").alias("raw_id"),
+        n_tok.cast("int").alias("nt"),
+        source.alias("src"),
+    )
+    return base.select(
+        F.col("raw_id").cast("string").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.col("nt")),
+            lambda i: ((F.col("raw_id") * mult + i) % 50257).cast("int"),
+        ).alias("tokens"),
+        F.col("nt").alias("n_tok"),
+        F.col("src").alias("source"),
+    )
+
+
+def _seq_table_tmpdir(prefix: str) -> str:
+    """Fresh temp table dir on tmpfs when present (the query measures
+    plan execution, not the sandbox's single virtio disk); sweeps stale
+    dirs from PRIOR invocations — the returned DataFrame still scans
+    this dir, so it can only be reclaimed lazily."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile
+
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    for stale in _glob.glob(os.path.join(tmp_base, f"{prefix}*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=tmp_base)
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE north_rule flagship op in the correctness gate: a REAL
     # copy-on-write MERGE INTO through IceMiniTable (manifest pruning,
@@ -510,31 +551,8 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derived deterministically from `documents` so plain SQL can
     # reproduce the merged state. tok_sum certifies the token arrays
     # element-wise (token-array-equality invariant, summed).
-    import tempfile
-
     from datalakequality_spark.maintenance.merge import merge_into
     from datalakequality_spark.sources.icemini import IceMiniTable
-
-    # NOTE: each select pre-projects `raw_id` under a name distinct
-    # from the output `doc_id` alias — Spark's lateral-column-alias
-    # resolution would otherwise bind `doc_id` inside the token lambda
-    # to the freshly aliased STRING column, silently shifting the
-    # insert ids (observed: tokens computed off raw_id + 2,000,000).
-    def _mk(rows: DataFrame, raw_id, n_tok, mult: int, source) -> DataFrame:
-        base = rows.select(
-            raw_id.cast("long").alias("raw_id"),
-            n_tok.cast("int").alias("nt"),
-            source.alias("src"),
-        )
-        return base.select(
-            F.col("raw_id").cast("string").alias("doc_id"),
-            F.transform(
-                F.sequence(F.lit(1), F.col("nt")),
-                lambda i: ((F.col("raw_id") * mult + i) % 50257).cast("int"),
-            ).alias("tokens"),
-            F.col("nt").alias("n_tok"),
-            F.col("src").alias("source"),
-        )
 
     d = _t(spark, sf_dir, "documents")
     target = _mk(
@@ -555,21 +573,46 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("new"),
     )
 
-    # temp table on tmpfs when present: the query measures MERGE plan
-    # execution, not the sandbox's single virtio disk (~20-25 MB/s
-    # under load; real clusters scale disks with executors). The
-    # returned DataFrame still scans this dir, so it can only be
-    # reclaimed lazily — sweep leftovers from PRIOR invocations here.
-    import glob as _glob
-    import shutil as _shutil
-
-    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    for stale in _glob.glob(os.path.join(tmp_base, "dlq-merge-q-*")):
-        _shutil.rmtree(stale, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="dlq-merge-q-", dir=tmp_base)
+    root = _seq_table_tmpdir("dlq-merge-q-")
     t = IceMiniTable.create(spark, root)
     t.append(target, target_file_rows=max(1, d.count() // 8))
     merge_into(t, updates.unionByName(inserts))
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+def q_maintain_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The OTHER north_rule flagship in the correctness gate: the fused
+    # bin-packing compaction + Z-order clustering rewrite WITH the
+    # per-file quality gate (maintenance/clustering.rewrite_sorted) on a
+    # real IceMiniTable written as 48 small files. The rewrite must be
+    # content-invariant — same rows, same token arrays, only layout
+    # changes — so the oracle is simply the input relation re-derived in
+    # SQL; tok_sum certifies the token arrays survived byte-for-byte
+    # (token-array-equality invariant, summed).
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 6151) % 421 + 1, 29, F.col("source")
+    )
+    n_docs = d.count()
+    root = _seq_table_tmpdir("dlq-rewrite-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, n_docs // 48))
+    rewrite_sorted(
+        t,
+        method="zorder",
+        target_rows_per_file=max(1, n_docs // 6),
+        quality_gate=True,
+    )
     return t.scan().select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
@@ -656,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "pack_chunks": q_pack_chunks,
         "merge_upsert": q_merge_upsert,
+        "maintain_rewrite": q_maintain_rewrite,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
     }
@@ -1092,6 +1136,19 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM merged
+        """,
+        "maintain_rewrite": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 6151) % 421 + 1 AS n_tok, source,
+                     doc_id AS raw_id
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * 29 + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM tgt
         """,
         "ivf_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -1,0 +1,162 @@
+"""spark-submit entry point for the maintenance engine (north_rule:
+"run via spark-submit --py-files on multi-executor clusters").
+
+Package the library and submit any maintenance job against a table
+root; every job prints ONE JSON result line (job_id inside) so
+schedulers can script retries — re-submitting with the same --job-id
+resumes from the per-partition lineage log instead of redoing work:
+
+    zip -r dlq.zip datalakequality_spark
+    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+        rewrite --table hdfs://.../seqs --method hilbert --gate
+    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+        merge --table .../seqs --source .../batch.parquet --job-id m-42
+    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+        expire --table .../seqs --keep-last 3
+
+(`python -m datalakequality_spark.cli ...` runs the same jobs in local
+mode; the bench and tests go through the same library entry points.)
+
+Cluster sizing is spark-submit's job (--num-executors / dynamic
+allocation); the engine only fixes per-job parallelism knobs
+(--shuffle-partitions, defaulting to 2x the cluster's default
+parallelism via session.get_spark).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+from .session import get_spark
+from .sources.icemini import IceMiniTable
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--table", required=True, help="table root path")
+    p.add_argument("--job-id", default=None,
+                   help="stable id: re-submit with the same id to resume "
+                        "from the lineage checkpoint after a crash")
+    p.add_argument("--master", default=None,
+                   help="override master (default: env/local)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def _spark(args):
+    return get_spark(
+        "dlq-maintenance",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def main(argv: list[str] | None = None) -> dict[str, Any]:
+    ap = argparse.ArgumentParser(prog="datalakequality_spark.cli")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("rewrite", help="fused bin-packing compaction + "
+                       "space-curve clustering (one data pass)")
+    _add_common(p)
+    p.add_argument("--method", choices=("zorder", "hilbert"), default="zorder")
+    p.add_argument("--target-rows", type=int, default=250_000,
+                   help="rows per output file")
+    p.add_argument("--gate", action="store_true",
+                   help="run the per-file quality gate; failing files "
+                        "are quarantined out of the rewrite")
+
+    p = sub.add_parser("compact", help="bin-packing compaction only")
+    _add_common(p)
+    p.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    p.add_argument("--gate", action="store_true")
+
+    p = sub.add_parser("cluster", help="space-curve clustering only")
+    _add_common(p)
+    p.add_argument("--method", choices=("zorder", "hilbert"), default="zorder")
+    p.add_argument("--target-rows", type=int, default=250_000)
+
+    p = sub.add_parser("merge", help="MERGE INTO (copy-on-write upsert "
+                       "keyed on doc_id)")
+    _add_common(p)
+    p.add_argument("--source", required=True, help="parquet path of the "
+                   "merge source batch")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--salt-partitions", type=int, default=None,
+                   help="pre-repartition the source by a salted key "
+                        "(pathological source skew)")
+
+    p = sub.add_parser("expire", help="snapshot expiration + reachability GC")
+    _add_common(p)
+    p.add_argument("--keep-last", type=int, default=3)
+
+    p = sub.add_parser("gate", help="quality gate only: report (not "
+                       "quarantine) per-file contract/PII/outlier verdicts")
+    _add_common(p)
+
+    args = ap.parse_args(argv)
+    spark = _spark(args)
+    table = IceMiniTable.load(spark, args.table)
+
+    if args.cmd == "rewrite":
+        from .maintenance.clustering import rewrite_sorted
+
+        out = rewrite_sorted(
+            table,
+            method=args.method,
+            target_rows_per_file=args.target_rows,
+            job_id=args.job_id,
+            quality_gate=args.gate,
+        )
+    elif args.cmd == "compact":
+        from .maintenance.compaction import compact_table
+
+        out = compact_table(
+            table,
+            target_bytes=args.target_bytes,
+            job_id=args.job_id,
+            quality_gate=args.gate,
+        )
+    elif args.cmd == "cluster":
+        from .maintenance.clustering import cluster_table
+
+        out = cluster_table(
+            table,
+            method=args.method,
+            target_rows_per_file=args.target_rows,
+            job_id=args.job_id,
+        )
+    elif args.cmd == "merge":
+        from .maintenance.merge import merge_into
+
+        from .sources.icemini import SEQUENCES_SCHEMA
+
+        source = spark.read.schema(SEQUENCES_SCHEMA).parquet(args.source)
+        out = merge_into(
+            table,
+            source,
+            key=args.key,
+            salt_partitions=args.salt_partitions,
+            job_id=args.job_id,
+        )
+    elif args.cmd == "expire":
+        out = table.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "gate":
+        from .maintenance.compaction import gate_batch
+
+        entries = table.live_entries()
+        clean, quarantine = gate_batch(table, [entries], None)
+        out = {
+            "files": len(entries),
+            "clean_files": sum(len(b) for b in clean),
+            "quarantine": quarantine,
+        }
+    else:  # pragma: no cover - argparse enforces choices
+        raise SystemExit(f"unknown cmd {args.cmd}")
+
+    print(json.dumps(out, default=str))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -120,3 +120,46 @@ def with_cluster_key(
     doc_h = F.xxhash64("doc_id")
     udf = {"zorder": _zorder_key_udf, "hilbert": _hilbert_key_udf}[method]
     return df.withColumn(key_col, udf(src_h, ntok16.cast("long"), doc_h))
+
+
+def with_cluster_bucket(
+    df: DataFrame,
+    bounds: list[int],
+    method: str = "zorder",
+    key_col: str = "__cluster_key",
+    pid_col: str = "__pid",
+    n_tok_clip: int = 8192,
+) -> DataFrame:
+    """Add the curve key AND its range-bucket id in the SAME Arrow pass.
+
+    ``bounds`` are pre-sampled key quantiles (ascending); a row's bucket
+    is the count of bounds strictly below its key, computed with
+    ``np.searchsorted`` — O(log #buckets) per row. The naive Column
+    expression (``F.size(F.filter(bounds_arr, b < key))``) is a linear
+    scan: fine at 96 output files, catastrophic at real scale, where a
+    100 TB table at 256 MB target files has ~400k buckets and the scan
+    would do 400k comparisons PER ROW. Bounds are closure-captured into
+    the UDF (one broadcast-sized numpy array per python worker, ~8 B per
+    output file).
+    """
+    kernel = {"zorder": morton3, "hilbert": hilbert3}[method]
+    b = np.asarray(sorted(bounds), dtype=np.int64)
+
+    @F.pandas_udf("key long, pid int")
+    def _key_and_bucket(
+        src_h: pd.Series, ntok16: pd.Series, doc_h: pd.Series
+    ) -> pd.DataFrame:
+        k = kernel(_mask16(src_h), _mask16(ntok16), _mask16(doc_h)).astype(np.int64)
+        pid = np.searchsorted(b, k, side="left").astype(np.int32)
+        return pd.DataFrame({"key": k, "pid": pid})
+
+    src_h = F.xxhash64("source")
+    ntok16 = F.least(F.col("n_tok").cast("long"), F.lit(n_tok_clip)) * 65535 / n_tok_clip
+    doc_h = F.xxhash64("doc_id")
+    tmp = "__kb"
+    return (
+        df.withColumn(tmp, _key_and_bucket(src_h, ntok16.cast("long"), doc_h))
+        .withColumn(key_col, F.col(f"{tmp}.key"))
+        .withColumn(pid_col, F.col(f"{tmp}.pid"))
+        .drop(tmp)
+    )

@@ -36,7 +36,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.spacecurves import with_cluster_key
+from ..functions.spacecurves import with_cluster_bucket, with_cluster_key
 from ..sources.icemini import IceMiniTable, SEQUENCES_SCHEMA
 from .lineage import JobLog
 
@@ -58,7 +58,6 @@ def _cluster_and_bucket(
     are never decoded in the sample pass).
     """
     df = spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
-    keyed = with_cluster_key(df, method=method)
     bounds: list[int] = []
     if num_files > 1:
         # ~500 sampled keys per bucket bounds the bucket-size error well
@@ -69,14 +68,13 @@ def _cluster_and_bucket(
         qs = [i / num_files for i in range(1, num_files)]
         raw = skeys.approxQuantile("__cluster_key", qs, 0.25 / num_files)
         bounds = sorted({int(b) for b in raw})
-    if bounds:
-        arr = F.array(*[F.lit(b) for b in bounds])
-        pid = F.size(F.filter(arr, lambda b: b < F.col("__cluster_key")))
-    else:
-        pid = F.lit(0)
+    # key + bucket id in ONE Arrow pass (np.searchsorted over the
+    # closure-captured bounds — O(log #buckets)/row; a Column-expression
+    # linear scan over the bounds array would be O(#buckets)/row, which
+    # at 10^12 rows / ~400k output files is intractable)
+    keyed = with_cluster_bucket(df, bounds, method=method)
     return (
-        keyed.withColumn("__pid", pid)
-        .repartition("__pid")
+        keyed.repartition("__pid")
         .sortWithinPartitions("__pid", "__cluster_key")
         .drop("__cluster_key")
     )

@@ -219,3 +219,35 @@ def test_manifest_pruning(spark, table):
     # pruned scan returns exactly the same rows as a filtered full scan
     full = table.scan().where(F.col("n_tok") >= 4000).count()
     assert table.scan(min_n_tok=4000).where(F.col("n_tok") >= 4000).count() == full
+
+
+def test_cli_rewrite_merge_expire(spark, table, tmp_path, monkeypatch, capsys):
+    """The spark-submit CLI drives the same library entry points:
+    rewrite --gate, merge from a parquet source, expire. Each prints one
+    JSON line; content survives under token-array equality."""
+    import json
+
+    from datalakequality_spark import cli
+
+    # the CLI builds its own session via get_spark; reuse the fixture's
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    h0 = _content_hash(table)
+
+    out = cli.main(["rewrite", "--table", table.root, "--gate",
+                    "--target-rows", str(N // 4), "--job-id", "cli-r1"])
+    assert out["tasks"] == 1 and out["new_files"] >= 4
+    assert json.loads(capsys.readouterr().out.strip())["job_id"] == "cli-r1"
+    assert _content_hash(table) == h0
+
+    src_path = str(tmp_path / "mergesrc")
+    batch = generate_merge_batch(spark, N, insert_rows=N // 10)
+    batch.write.parquet(src_path)
+    out = cli.main(["merge", "--table", table.root, "--source", src_path])
+    assert out["rows"] > 0 and out["matched_files"] > 0
+    assert table.scan().count() == N + N // 10
+
+    out = cli.main(["expire", "--table", table.root, "--keep-last", "1"])
+    assert out["deleted_data_files"]
+    # resume semantics: re-submitting the same rewrite job id is a no-op
+    out = cli.main(["rewrite", "--table", table.root, "--job-id", "cli-r1"])
+    assert out["skipped"] == 1 and out["tasks"] == 0

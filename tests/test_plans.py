@@ -129,6 +129,23 @@ def test_cluster_rewrite_single_range_exchange(spark, tmp_path):
     assert plan.count("ArrowEvalPython") == 1
 
 
+def test_cluster_and_bucket_one_exchange_one_udf(spark, tmp_path):
+    """The production rewrite path (_cluster_and_bucket with sampled
+    bounds) must evaluate the curve key + bucket id in ONE Arrow UDF and
+    shuffle ONCE (hash on the bucket id) — repartitionByRange would add
+    a second full evaluation of the UDF for its sampling job."""
+    from datalakequality_spark.maintenance.clustering import _cluster_and_bucket
+    from datalakequality_spark.sources.datagen import generate_sequences
+
+    path = str(tmp_path / "seq")
+    generate_sequences(spark, 2000).write.parquet(path)
+    out = _cluster_and_bucket(spark, [path], "zorder", num_files=8, total_rows=2000)
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(__pid" in plan
+
+
 def test_minhash_single_tokenization(spark):
     """The MinHash path sends ONE token-hash array per row through ONE
     Arrow UDF — no shingle-string expression tree in the plan."""

@@ -84,3 +84,30 @@ def test_skewed_source_still_balances_output_files(spark, tmp_path):
     rewrite_sorted(t, target_rows_per_file=1000)
     rows = [e.rows for e in t.live_entries()]
     assert max(rows) <= 2.5 * (sum(rows) / len(rows))
+
+
+def test_with_cluster_bucket_matches_linear_scan(spark):
+    """The searchsorted bucket id (one Arrow pass, O(log #buckets)/row)
+    must equal the definitional linear scan (count of bounds < key), and
+    empty bounds must yield bucket 0 everywhere."""
+    from datalakequality_spark.functions.spacecurves import (
+        with_cluster_bucket,
+        with_cluster_key,
+    )
+    from datalakequality_spark.sources.datagen import generate_sequences
+
+    df = generate_sequences(spark, 2000)
+    keys = with_cluster_key(df, method="hilbert")
+    bounds = sorted(
+        int(r["__cluster_key"])
+        for r in keys.sample(0.05, seed=7).select("__cluster_key").collect()
+    )[:31]
+    got = with_cluster_bucket(df, bounds, method="hilbert")
+    arr = F.array(*[F.lit(b) for b in bounds])
+    check = got.withColumn(
+        "__pid_ref",
+        F.size(F.filter(arr, lambda b: b < F.col("__cluster_key"))).cast("int"),
+    )
+    assert check.where(F.col("__pid") != F.col("__pid_ref")).count() == 0
+    empty = with_cluster_bucket(df, [], method="zorder")
+    assert empty.select(F.max("__pid"), F.min("__pid")).first() == (0, 0)
