@@ -27,6 +27,24 @@ def get_spark(
     parallelism — enough to keep AQE coalescing useful without
     over-scheduling tiny tasks.
     """
+    # bound nested thread pools in the python workers: each worker
+    # process otherwise sizes its pyarrow CPU pool (and any BLAS) to the
+    # HOST core count, so N workers spawn N×cores threads that fault
+    # pages concurrently and serialize on per-process mmap_lock.
+    # Measured (16-core cycle, 5M rows): fused-rewrite wall 38-51 s →
+    # 23-27 s, rewrite-phase kernel share 37% → 19%. A Spark task is
+    # already the unit of parallelism — one compute thread per worker is
+    # the correct sizing on any cluster. setdefault: callers can
+    # override; executorEnv below propagates the same to real executors.
+    _worker_env = {
+        "OMP_NUM_THREADS": "1",          # pyarrow CPU pool + OpenMP BLAS
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+        "ARROW_IO_THREADS": "2",
+    }
+    for k, v in _worker_env.items():
+        os.environ.setdefault(k, v)
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
@@ -68,6 +86,8 @@ def get_spark(
         local_dir = "/dev/shm/dlq_spark_local"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k in _worker_env:
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
