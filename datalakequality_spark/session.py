@@ -52,6 +52,9 @@ def get_spark(
     if shuffle_partitions is None:
         if master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = max(8, 2 * int(master[6:-1]))
+        elif master.startswith("local-cluster["):
+            n, cores = master[14:-1].split(",")[:2]
+            shuffle_partitions = max(8, 2 * int(n) * int(cores))
         else:
             shuffle_partitions = 2 * (os.cpu_count() or 8)
 
@@ -93,4 +96,40 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # multi-executor masters (local-cluster pseudo-cluster, standalone,
+    # YARN, k8s): executor python workers do not share the driver's
+    # sys.path, so cloudpickled UDFs referencing this package raise
+    # ModuleNotFoundError unless the package is shipped — the
+    # spark-submit --py-files contract. When the caller did not submit
+    # with --py-files (no spark.submit.pyFiles), ship a freshly zipped
+    # copy of the package via addPyFile.
+    if not master.startswith("local[") and not spark.conf.get(
+        "spark.submit.pyFiles", ""
+    ):
+        spark.sparkContext.addPyFile(_package_zip())
     return spark
+
+
+def _package_zip() -> str:
+    """Zip this package into the session temp dir (once per process)."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(
+        tempfile.gettempdir(), f"dlq_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(out):
+        with zipfile.ZipFile(out, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    p = os.path.join(root, f)
+                    rel = os.path.join(
+                        "datalakequality_spark", os.path.relpath(p, pkg_dir)
+                    )
+                    z.write(p, rel)
+    return out

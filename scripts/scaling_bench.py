@@ -46,26 +46,51 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# N→4N pairs: (2,8) and (4,16) stay within the 16 physical cores;
-# (8,32) crosses into SMT where the host caps at ~2.4× (pure-CPU probe,
-# BENCH/BASELINE.md §3). (2,8) is primary and gets an extra repeat.
+# thread mode — N→4N pairs: (2,8) and (4,16) stay within the 16
+# physical cores; (8,32) crosses into SMT where the host caps at ~2.4×
+# (pure-CPU probe, BENCH/BASELINE.md §3). (2,8) is primary and gets an
+# extra repeat.
 PAIRS = ((2, 8), (4, 16), (8, 32))
 PAIR_REPEATS = {(2, 8): 3, (4, 16): 2, (8, 32): 2}
 LEVELS = (2, 4, 8, 16, 32)
 
+# executor mode — the faithful reading of the north rule's "N and 4N
+# EXECUTORS": local-cluster[N, EXEC_CORES, EXEC_MEM_MB] spawns N real
+# executor JVM PROCESSES with identical per-executor config; scaling N
+# holds per-process thread count constant, exactly like adding
+# executors to a real cluster (thread mode instead scales threads
+# inside ONE process — a regime no deployment uses, and one this host
+# punishes with superlinear mmap_lock contention). The package ships to
+# executors via addPyFile (the spark-submit --py-files contract).
+EXEC_CORES = 4
+EXEC_MEM_MB = 10240
+EXEC_PAIRS = ((1, 4), (2, 8))
+EXEC_PAIR_REPEATS = {(1, 4): 3, (2, 8): 2}
+EXEC_LEVELS = (1, 2, 4, 8)
 
-def worker(cpus: int, rows: int) -> None:
+
+def worker(cpus: int, rows: int, executors: bool = False) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["BENCH_ROWS"] = str(rows)
     os.environ.setdefault("BENCH_MEAN_TOKENS", "128")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    if executors and os.path.isdir("/dev/shm"):
+        # local-cluster workers place shuffle/spill under SPARK_LOCAL_DIRS
+        # (spark.local.dir is ignored with a cluster manager) — keep it
+        # off the sandbox's slow virtio disk, like the table dir
+        os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/dlq_spark_local")
     import bench
 
     bench.CPUS = cpus
     bench.N_ROWS = rows
     from datalakequality_spark.session import get_spark
 
-    spark = get_spark("scaling", master=f"local[{cpus}]")
+    master = (
+        f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
+        if executors
+        else f"local[{cpus}]"
+    )
+    spark = get_spark("scaling", master=master)
     # pre-spawn the Arrow-UDF worker pool: each forked Python worker
     # imports numpy/pandas/pyarrow on first use, and a simultaneous
     # 32-way cold-import storm against this sandbox's disk adds tens of
@@ -104,23 +129,28 @@ def _cpu_mix(before: list[int], after: list[int]) -> dict:
     }
 
 
-def _run_level(rows: int, cpus: int, tag: str) -> dict:
-    proc = subprocess.run(
-        [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-         "--rows", str(rows)],
-        capture_output=True, text=True, timeout=3600,
-    )
+def _run_level(rows: int, cpus: int, tag: str, executors: bool = False) -> dict:
+    cmd = [sys.executable, __file__, "--worker", "--cpus", str(cpus),
+           "--rows", str(rows)]
+    if executors:
+        cmd.append("--executor-mode")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     line = next(
         (l for l in proc.stdout.splitlines()
          if l.startswith("SCALING_RESULT ")),
         None,
     )
+    label = (
+        f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
+        if executors
+        else f"local[{cpus}]"
+    )
     if line is None:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-        raise SystemExit(f"worker local[{cpus}] produced no result")
+        raise SystemExit(f"worker {label} produced no result")
     r = json.loads(line[len("SCALING_RESULT "):])
     print(
-        f"{tag} local[{cpus}]: {r['maintain_sec']}s "
+        f"{tag} {label}: {r['maintain_sec']}s "
         f"(rewrite {r['rewrite_sorted_sec']} "
         f"merge {r['merge_sec']} "
         f"steal {r.get('host_steal_pct', '?')}% "
@@ -134,24 +164,35 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--repeats", type=int, default=0,
                     help="override repeats for EVERY pair (0 = per-pair default)")
-    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling_cycle.md"))
+    ap.add_argument("--out", default=None)
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--executor-mode", action="store_true",
+                    help="scale EXECUTOR PROCESSES (local-cluster[N,4,mem]) "
+                         "instead of threads in one JVM")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
     if args.worker:
-        worker(args.cpus, args.rows)
+        worker(args.cpus, args.rows, executors=args.executor_mode)
         return
 
+    ex = args.executor_mode
+    pairs = EXEC_PAIRS if ex else PAIRS
+    pair_reps = EXEC_PAIR_REPEATS if ex else PAIR_REPEATS
+    levels = EXEC_LEVELS if ex else LEVELS
+    out_path = args.out or os.path.join(
+        REPO, "BENCH", "scaling_executors.md" if ex else "scaling_cycle.md"
+    )
+
     best: dict[int, dict] = {}
-    pair_runs: dict[tuple[int, int], list[dict]] = {p: [] for p in PAIRS}
+    pair_runs: dict[tuple[int, int], list[dict]] = {p: [] for p in pairs}
     max_reps = max(
-        args.repeats or max(PAIR_REPEATS.values()),
+        args.repeats or max(pair_reps.values()),
         1,
     )
     for rep in range(max_reps):
-        for pair in PAIRS:
-            reps_wanted = args.repeats or PAIR_REPEATS[pair]
+        for pair in pairs:
+            reps_wanted = args.repeats or pair_reps[pair]
             if rep >= reps_wanted:
                 continue
             n, m = pair
@@ -160,7 +201,8 @@ def main() -> None:
             order = (n, m) if rep % 2 == 0 else (m, n)
             got = {}
             for cpus in order:
-                r = _run_level(args.rows, cpus, f"pair {n}->{m} rep {rep + 1}")
+                r = _run_level(args.rows, cpus, f"pair {n}->{m} rep {rep + 1}",
+                               executors=ex)
                 got[cpus] = r
                 if cpus not in best or r["maintain_sec"] < best[cpus]["maintain_sec"]:
                     best[cpus] = r
@@ -188,16 +230,20 @@ def main() -> None:
     for (n, m), runs in pair_runs.items():
         effs = [r["eff"] for r in runs]
         eff[f"{n}->{m}"] = {"best": max(effs), "median": _median(effs), "runs": runs}
-    work = best[LEVELS[0]].get("work_dir", "disk")
+    work = best[levels[0]].get("work_dir", "disk")
+
+    def level_label(c):
+        return f"{c} executor{'s' if c > 1 else ''} × {EXEC_CORES} cores" if ex \
+            else f"local[{c}]"
 
     def row(c):
         r = best[c]
-        return (f"| local[{c}] | {r['shuffle_partitions']} | {r['maintain_sec']} "
+        return (f"| {level_label(c)} | {r['shuffle_partitions']} | {r['maintain_sec']} "
                 f"| {r['sequences_per_sec']} | {r['rewrite_sorted_sec']} "
                 f"| {r['merge_sec']} | {r.get('host_steal_pct', '?')} "
                 f"| {r.get('host_sys_pct', '?')} |")
 
-    rows_md = "\n".join(row(c) for c in LEVELS)
+    rows_md = "\n".join(row(c) for c in levels if c in best)
 
     def pair_md(n, m):
         e = eff[f"{n}->{m}"]
@@ -212,9 +258,81 @@ def main() -> None:
             )
         return "\n".join(lines)
 
-    pair_detail_md = "\n".join(pair_md(n, m) for n, m in PAIRS)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    pair_detail_md = "\n".join(pair_md(n, m) for n, m in pairs)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    if ex:
+        pair_summary = "\n".join(
+            f"| {level_label(n)} → {level_label(m)} | **{eff[f'{n}->{m}']['best']:.3f}** "
+            f"| {eff[f'{n}->{m}']['median']:.3f} | "
+            + (f"{n*EXEC_CORES}→{m*EXEC_CORES} total cores"
+               + (" — crosses into SMT (16 physical cores), host caps ~2.4×"
+                  if m * EXEC_CORES > 16 else "")) + " |"
+            for n, m in pairs
+        )
+        with open(out_path, "w") as f:
+            f.write(f"""# BENCH/scaling_executors — N→4N EXECUTOR scaling (the north-rule criterion)
+
+Metric (BASELINE.json): scaling efficiency N→4N **executors** ≥ 0.8.
+This file measures exactly that, as faithfully as one box allows:
+`local-cluster[N,{EXEC_CORES},{EXEC_MEM_MB}]` spawns N REAL executor
+JVM processes (Spark's pseudo-cluster used by Spark's own tests), each
+with an identical config ({EXEC_CORES} cores, {EXEC_MEM_MB} MB, its own
+python-worker pool, its own page tables and mmap_lock), package shipped
+via addPyFile = the spark-submit --py-files contract. Scaling N holds
+per-process thread count constant — precisely what adding executors to
+a real cluster does. The SAME cycle runs on the SAME deterministic
+input (seed=42, {args.rows:,} rows, mean 128 tokens,
+{best[levels[-1]]['maintain_rows']:,} rows after merge), fresh
+cluster per run, shuffle partitions = 2× total cores, each N→4N pair
+back-to-back per repeat (same host window), alternating order. Working
+dir + executor local dirs: **{work}** (tmpfs — the sandbox's single
+virtio disk sustains ~20-25 MB/s; a real cluster's storage scales WITH
+executors).
+
+What one box CANNOT emulate: 4N executors on a real cluster bring 4×
+memory channels, 4× L3, 4× NICs/disks. Here all executors share one
+socket's memory subsystem, so these numbers are a LOWER bound on
+real-cluster efficiency (BENCH/BASELINE.md §3: even a pure-CPU
+multiprocess probe caps at 0.96 for 2→8 cores, 0.61 for 8→32 on this
+host).
+
+| cluster size | shuffle partitions | cycle wall (s) | sequences/sec | rewrite (fused compact+cluster) | merge | host steal % | host sys % |
+|---|---|---|---|---|---|---|---|
+{rows_md}
+
+N→4N efficiencies, eff = T_N / (4 × T_4N), target ≥ 0.8:
+
+| pair | best eff | median eff | note |
+|---|---|---|---|
+{pair_summary}
+
+Per-repeat pair runs (each row = one same-window N,4N pair; sys%/steal%
+are host-validity evidence — this host has multi-minute one-sided slow
+windows that make cross-window ratios meaningless):
+
+| pair | rep | eff | T_N (s) | T_4N (s) | sys% N / 4N | steal% N / 4N |
+|---|---|---|---|---|---|---|
+{pair_detail_md}
+
+Config: `datalakequality_spark.session.get_spark` defaults — AQE +
+coalescePartitions + skewJoin enabled, Arrow on, zstd parquet,
+broadcast threshold 64 MB, python-worker thread pools bounded
+(OMP_NUM_THREADS=1 via spark.executorEnv). Cycle = fused bin-packing
+compaction + Z-order clustering in ONE data pass with the per-file
+quality gate inside it → MERGE INTO (10% updates + 10% inserts) →
+snapshot expire, through the same entry points `bench.py` uses. All
+file-count / file-size targets derive from the data only, so every
+cluster size does identical work.
+
+Reproduce: `python scripts/scaling_bench.py --executor-mode --rows {args.rows}`
+""")
+        print("  ".join(
+            f"eff({k}): best {v['best']:.3f} median {v['median']:.3f}"
+            for k, v in eff.items()
+        ) + f" -> {out_path}")
+        return
+
+    with open(out_path, "w") as f:
         f.write(f"""# BENCH/scaling_cycle — maintenance-cycle throughput & scaling efficiency
 
 Metric (BASELINE.json): sequences/sec maintained (compact + cluster +
@@ -276,7 +394,7 @@ Reproduce: `python scripts/scaling_bench.py --rows {args.rows}`
     print("  ".join(
         f"eff({k}): best {v['best']:.3f} median {v['median']:.3f}"
         for k, v in eff.items()
-    ) + f" -> {args.out}")
+    ) + f" -> {out_path}")
 
 
 if __name__ == "__main__":
