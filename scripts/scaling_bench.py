@@ -85,12 +85,16 @@ def worker(cpus: int, rows: int, executors: bool = False) -> None:
     bench.N_ROWS = rows
     from datalakequality_spark.session import get_spark
 
-    master = (
-        f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
-        if executors
-        else f"local[{cpus}]"
-    )
-    spark = get_spark("scaling", master=master)
+    if executors:
+        # local-cluster's third arg is the WORKER's memory offer; the
+        # executor still requests spark.executor.memory (default 1g!) —
+        # size it to the offer, minus headroom for the worker process
+        master = f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
+        extra = {"spark.executor.memory": f"{EXEC_MEM_MB - 1024}m"}
+    else:
+        master = f"local[{cpus}]"
+        extra = None
+    spark = get_spark("scaling", master=master, extra_conf=extra)
     # pre-spawn the Arrow-UDF worker pool: each forked Python worker
     # imports numpy/pandas/pyarrow on first use, and a simultaneous
     # 32-way cold-import storm against this sandbox's disk adds tens of
