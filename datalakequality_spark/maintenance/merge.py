@@ -54,9 +54,27 @@ def merge_into(
         # keys evenly without breaking run-to-run reproducibility
         source = source.repartition(salt_partitions, F.xxhash64(key, F.lit(42)))
     source = source.persist()
+    n_src = source.count()  # materializes the persist; exact key count
 
     entries = table.live_entries()
     src_keys = source.select(key)
+    # Catalyst cannot see that only the key column of the persisted
+    # source feeds the joins below — InMemoryRelation stats are not
+    # column-pruned, so the 4-column source (token arrays included)
+    # looks far too big to broadcast and both joins degrade to
+    # sort-merge, shuffling the FULL target token payload. The key set's
+    # true size is n_src × ~48 B; hint broadcast when it fits the
+    # session threshold. At 10^12-row scale with ~10^11-key sources the
+    # hint correctly stays off and SMJ + AQE skew handling take over.
+    import re
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    m = re.fullmatch(r"(-?\d+)\s*([bkmg]?)b?", thr.strip().lower())
+    thr_bytes = int(m.group(1)) * {
+        "": 1, "b": 1, "k": 1024, "m": 1024**2, "g": 1024**3
+    }[m.group(2)] if m else -1
+    if thr_bytes > 0 and n_src * 48 <= thr_bytes:
+        src_keys = F.broadcast(src_keys)
 
     # manifest-level pruning: only files whose [min,max] doc_id range can
     # intersect the source keys need scanning to find matches

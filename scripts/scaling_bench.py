@@ -174,6 +174,8 @@ def main() -> None:
                     help="scale EXECUTOR PROCESSES (local-cluster[N,4,mem]) "
                          "instead of threads in one JVM")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pairs", default=None,
+                    help="restrict to pairs, e.g. '1:4' or '2:8,4:16'")
     args = ap.parse_args()
 
     if args.worker:
@@ -182,8 +184,14 @@ def main() -> None:
 
     ex = args.executor_mode
     pairs = EXEC_PAIRS if ex else PAIRS
+    if args.pairs:
+        keep = {tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")}
+        pairs = tuple(p for p in pairs if p in keep)
+        if not ex:
+            raise SystemExit("--pairs is only supported with --executor-mode "
+                             "(the thread-mode report expects all pairs)")
     pair_reps = EXEC_PAIR_REPEATS if ex else PAIR_REPEATS
-    levels = EXEC_LEVELS if ex else LEVELS
+    levels = tuple(sorted({x for p in pairs for x in p})) if ex else LEVELS
     out_path = args.out or os.path.join(
         REPO, "BENCH", "scaling_executors.md" if ex else "scaling_cycle.md"
     )

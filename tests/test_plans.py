@@ -156,3 +156,47 @@ def test_minhash_single_tokenization(spark):
     plan = _plan(out)
     assert plan.count("ArrowEvalPython") == 1
     assert "slice" not in plan  # no per-shingle slicing JVM-side
+
+
+def test_merge_joins_broadcast_despite_cached_source(spark, tmp_path):
+    """InMemoryRelation stats are not column-pruned, so a persisted
+    4-column merge source makes Catalyst refuse to broadcast the key
+    projection and both merge joins degrade to sort-merge — shuffling
+    the full token payload. merge_into must hint broadcast from the
+    exact key count when the key set fits the threshold (and must NOT
+    when the threshold is off: at 10^12-row scale SMJ is correct)."""
+    from datalakequality_spark.maintenance import merge as merge_mod
+    from datalakequality_spark.sources.datagen import (
+        generate_merge_batch,
+        generate_sequences,
+    )
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    captured = []
+    orig = IceMiniTable.write_data_files
+
+    def spy(self, df, prefix=None, split_col=None):
+        captured.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, df, prefix=prefix, split_col=split_col)
+
+    t = IceMiniTable.create(spark, str(tmp_path / "m"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=1000)
+    try:
+        IceMiniTable.write_data_files = spy
+        merge_mod.merge_into(t, generate_merge_batch(spark, 4000))
+    finally:
+        IceMiniTable.write_data_files = orig
+    assert len(captured) == 1
+    assert "BroadcastHashJoin" in captured[0]
+    assert "SortMergeJoin" not in captured[0]
+
+    captured.clear()
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        IceMiniTable.write_data_files = spy
+        merge_mod.merge_into(t, generate_merge_batch(spark, 4000))
+    finally:
+        IceMiniTable.write_data_files = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    assert "BroadcastHashJoin" not in captured[0]
