@@ -209,6 +209,11 @@ def _warm_python_workers(spark) -> None:
 def main() -> None:
     from datalakequality_spark.session import get_spark
 
+    # tmpfs shuffle dirs are a BENCH opt-in (the library default spills
+    # to real disk — see session.py): this sandbox's single virtio disk
+    # would otherwise serialize every shuffle behind ~20-25 MB/s
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dlq_spark_local")
     spark = get_spark("bench", master=f"local[{CPUS}]")
     _warm_python_workers(spark)
     maint = run_maintenance(spark)

@@ -4,14 +4,16 @@
 Package the library and submit any maintenance job against a table
 root; every job prints ONE JSON result line (job_id inside) so
 schedulers can script retries — re-submitting with the same --job-id
-resumes from the per-partition lineage log instead of redoing work:
+resumes from the per-partition lineage log instead of redoing work.
+spark-submit takes a script (it has no -m module flag), so cluster
+submissions go through the thin launcher scripts/dlq_cli.py:
 
     zip -r dlq.zip datalakequality_spark
-    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         rewrite --table hdfs://.../seqs --method hilbert --gate
-    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         merge --table .../seqs --source .../batch.parquet --job-id m-42
-    spark-submit --py-files dlq.zip -m datalakequality_spark.cli \\
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         expire --table .../seqs --keep-last 3
 
 (`python -m datalakequality_spark.cli ...` runs the same jobs in local

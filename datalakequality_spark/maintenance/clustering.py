@@ -5,8 +5,8 @@ Reads the live snapshot, computes the space-filling-curve key
 bucket from pre-sampled key quantiles, hash-exchanges on the bucket id
 and sorts within partitions; the fanout writer
 (IceMiniTable.write_data_files split_col) cuts one file per bucket.
-Output files are globally range-ordered on the curve key with tight
-per-file (source, n_tok, doc_id) min/max stats, which is exactly what
+Output files are range-ordered on the curve key with tight per-file
+(source, n_tok, doc_id) min/max stats, which is exactly what
 manifest-level pruning (IceMiniTable.prune_entries) needs.
 
 Why not ``repartitionByRange`` directly: Spark's range exchange runs a
@@ -20,12 +20,17 @@ the key itself (skew-resistant by construction), and AQE is free to
 coalesce the hash exchange into fewer, fuller write tasks without
 changing the file count.
 
-Scale: one sample pass (light columns), one shuffle, one sort, one
-write. At 10^12 rows this is the dominant maintenance cost; it
-parallelizes perfectly because the key is computed map-side.
-
-Resumable: one lineage task per rewrite; a re-run with the same job_id
-after a crash either acks the landed commit or redoes the pass.
+Scale & resumability: the rewrite is planned into independent SHARDS —
+input files are bin-packed (in curve-key-range order, so shards track
+the key space once the table is partially clustered) into groups of at
+most ``max_shard_rows`` rows, and every shard is its own lineage task
+with its own snapshot commit. A crash at shard k of n resumes at k
+(done shards are skipped — SURVEY §5.2(3): no partition processed
+twice), and at 10^12 rows no single commit carries the whole table.
+This is Iceberg's RewriteDataFiles file-group model: each shard's
+output is internally range-ordered; cross-shard key ranges may overlap
+(pruning stays correct — min/max stats are exact per file — and
+repeated rewrites converge toward disjoint ranges).
 """
 
 from __future__ import annotations
@@ -37,8 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.spacecurves import with_cluster_bucket, with_cluster_key
-from ..sources.icemini import IceMiniTable, SEQUENCES_SCHEMA
-from .lineage import JobLog
+from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
+from .lineage import JobLog, commit_landed
 
 
 def _cluster_and_bucket(
@@ -80,54 +85,64 @@ def _cluster_and_bucket(
     )
 
 
-def rewrite_sorted(
+def _plan_shards(
+    entries: list[FileEntry],
+    target_rows_per_file: int,
+    max_shard_rows: int,
+    method: str,
+) -> list[dict[str, Any]]:
+    """Bin-pack live files into rewrite shards of ≤ ``max_shard_rows``
+    rows each (≥1 file per shard). Files are ordered by their min
+    (source, n_tok, doc_id) stats so shards follow the curve-key space
+    on a partially clustered table — repeated rewrites converge toward
+    globally disjoint per-shard key ranges."""
+    ordered = sorted(
+        entries,
+        key=lambda e: (
+            e.min_source or "",
+            e.min_n_tok if e.min_n_tok is not None else -1,
+            e.min_doc_id or "",
+            e.path,
+        ),
+    )
+    shards: list[list[FileEntry]] = []
+    cur: list[FileEntry] = []
+    cur_rows = 0
+    for e in ordered:
+        if cur and cur_rows + e.rows > max_shard_rows:
+            shards.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(e)
+        cur_rows += e.rows
+    if cur:
+        shards.append(cur)
+    return [
+        {
+            "task_id": f"shard-{i:05d}",
+            "input_files": [e.path for e in shard],
+            "num_files": max(
+                1, -(-sum(e.rows for e in shard) // target_rows_per_file)
+            ),
+            "method": method,
+        }
+        for i, shard in enumerate(shards)
+    ]
+
+
+def _run_shards(
     table: IceMiniTable,
-    method: str = "zorder",
-    target_rows_per_file: int = 250_000,
-    job_id: str | None = None,
-    quality_gate: bool = False,
-    gate_thresholds: dict[str, Any] | None = None,
+    log: JobLog,
+    job_id: str,
+    tasks: list[dict[str, Any]],
+    operation: str,
+    method: str,
+    quality_gate: bool,
+    gate_thresholds: dict[str, Any] | None,
 ) -> dict[str, Any]:
-    """Fused bin-packing compaction + space-curve clustering — ONE data
-    pass over the live snapshot (the same shape as Iceberg's
-    RewriteDataFiles with a sort strategy: small files are packed AND
-    every output file is curve-ordered in a single rewrite).
-
-    Running ``compact_table`` then ``cluster_table`` reads and writes the
-    full table twice; at 10^12 rows the second rewrite doubles the
-    dominant cost (shuffle + parquet encode + disk). This fusion keeps
-    both operators' semantics — output files are ~target-sized (the
-    packing) and globally range-ordered on the (source, n_tok, doc_id)
-    curve key with tight per-file min/max stats (the clustering) — for
-    one read, one range exchange, one sorted write, one commit.
-
-    With ``quality_gate=True`` the per-file gate runs over the inputs
-    first (same grouped aggregation as compaction's gate_batch) and
-    failing files are quarantined out of the rewrite and the live set.
-
-    Resumable: one lineage task; a re-run with the same job_id after a
-    crash either acks the landed commit or redoes the pass (staged
-    orphans are swept by reachability GC).
-    """
+    """Execute rewrite shards: per-shard gate → cluster+sort → fanout
+    write → intent → tagged commit → done. Idempotent on re-run with
+    the same job_id."""
     from .compaction import gate_batch
-
-    job_id = job_id or f"rewrite-{uuid.uuid4().hex[:12]}"
-    log = JobLog(table.root, job_id)
-
-    tasks = log.load_plan()
-    if tasks is None:
-        entries = table.live_entries()
-        total_rows = sum(e.rows for e in entries)
-        num_files = max(1, -(-total_rows // target_rows_per_file))
-        tasks = [
-            {
-                "task_id": "rewrite-sorted",
-                "input_files": [e.path for e in entries],
-                "num_files": num_files,
-                "method": method,
-            }
-        ]
-        log.write_plan(tasks)
 
     result = {
         "job_id": job_id,
@@ -143,7 +158,10 @@ def rewrite_sorted(
             result["skipped"] += 1
             continue
         intent = log.intent(tid)
-        if intent is not None and not (set(inputs) & table.live_paths()):
+        if intent is not None and (
+            commit_landed(table, job_id, tid)
+            or not (set(inputs) & table.live_paths())
+        ):
             log.mark_done(tid, intent)
             result["skipped"] += 1
             continue
@@ -177,11 +195,12 @@ def rewrite_sorted(
         }
         log.mark_intent(tid, record)
         table.commit(
-            "rewrite-sorted",
+            operation,
             added=new_entries,
             removed_paths=inputs,
             required_paths=inputs,
             quarantine=quarantine,
+            summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
         )
         log.mark_done(tid, record)
         result["tasks"] += 1
@@ -190,66 +209,75 @@ def rewrite_sorted(
     return result
 
 
+def rewrite_sorted(
+    table: IceMiniTable,
+    method: str = "zorder",
+    target_rows_per_file: int = 250_000,
+    job_id: str | None = None,
+    quality_gate: bool = False,
+    gate_thresholds: dict[str, Any] | None = None,
+    max_shard_rows: int | None = None,
+) -> dict[str, Any]:
+    """Fused bin-packing compaction + space-curve clustering — ONE data
+    pass over the live snapshot (the same shape as Iceberg's
+    RewriteDataFiles with a sort strategy: small files are packed AND
+    every output file is curve-ordered in a single rewrite).
+
+    Running ``compact_table`` then ``cluster_table`` reads and writes the
+    full table twice; at 10^12 rows the second rewrite doubles the
+    dominant cost (shuffle + parquet encode + disk). This fusion keeps
+    both operators' semantics — output files are ~target-sized (the
+    packing) and range-ordered on the (source, n_tok, doc_id) curve key
+    with tight per-file min/max stats (the clustering) — for one read,
+    one range exchange, one sorted write per shard.
+
+    With ``quality_gate=True`` the per-file gate runs over each shard's
+    inputs first (same grouped aggregation as compaction's gate_batch)
+    and failing files are quarantined out of the rewrite and the live
+    set.
+
+    Resumable per SHARD: the plan bin-packs input files into groups of
+    ≤ ``max_shard_rows`` rows (default 64 output files' worth); each
+    shard commits independently, so a crash at shard k of n redoes only
+    shard k — not the table (tests/test_maintenance.py crash-resume).
+    """
+    job_id = job_id or f"rewrite-{uuid.uuid4().hex[:12]}"
+    log = JobLog(table.root, job_id)
+    max_shard_rows = max_shard_rows or 64 * target_rows_per_file
+
+    tasks = log.load_plan()
+    if tasks is None:
+        tasks = _plan_shards(
+            table.live_entries(), target_rows_per_file, max_shard_rows, method
+        )
+        log.write_plan(tasks)
+    return _run_shards(
+        table, log, job_id, tasks, "rewrite-sorted", method,
+        quality_gate, gate_thresholds,
+    )
+
+
 def cluster_table(
     table: IceMiniTable,
     method: str = "zorder",
     target_rows_per_file: int = 250_000,
     job_id: str | None = None,
+    max_shard_rows: int | None = None,
 ) -> dict[str, Any]:
+    """Space-curve clustering rewrite (no gate) — same sharded,
+    per-shard-resumable executor as ``rewrite_sorted``."""
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
+    max_shard_rows = max_shard_rows or 64 * target_rows_per_file
 
     tasks = log.load_plan()
     if tasks is None:
-        entries = table.live_entries()
-        total_rows = sum(e.rows for e in entries)
-        num_files = max(1, -(-total_rows // target_rows_per_file))
-        tasks = [
-            {
-                "task_id": "cluster-all",
-                "input_files": [e.path for e in entries],
-                "num_files": num_files,
-                "method": method,
-            }
-        ]
+        tasks = _plan_shards(
+            table.live_entries(), target_rows_per_file, max_shard_rows, method
+        )
         log.write_plan(tasks)
-
-    result = {"job_id": job_id, "tasks": 0, "skipped": 0, "new_files": 0}
-    for task in tasks:
-        tid = task["task_id"]
-        inputs = task["input_files"]
-        if log.is_done(tid):
-            result["skipped"] += 1
-            continue
-        intent = log.intent(tid)
-        if intent is not None and not (set(inputs) & table.live_paths()):
-            log.mark_done(tid, intent)
-            result["skipped"] += 1
-            continue
-
-        paths = [table._abs(p) for p in inputs]
-        by_path = {e.path: e for e in table.live_entries()}
-        total_rows = sum(by_path[p].rows for p in inputs if p in by_path)
-        clustered = _cluster_and_bucket(
-            table.spark,
-            paths,
-            task.get("method", method),
-            task["num_files"],
-            total_rows,
-        )
-        new_entries = table.write_data_files(clustered, split_col="__pid")
-        record = {
-            "task_id": tid,
-            "input_files": inputs,
-            "output_files": [e.path for e in new_entries],
-            "rows": sum(e.rows for e in new_entries),
-            "tokens": sum(e.token_count for e in new_entries),
-        }
-        log.mark_intent(tid, record)
-        table.commit(
-            "cluster", added=new_entries, removed_paths=inputs, required_paths=inputs
-        )
-        log.mark_done(tid, record)
-        result["tasks"] += 1
-        result["new_files"] += len(new_entries)
-    return result
+    out = _run_shards(
+        table, log, job_id, tasks, "cluster", method, False, None
+    )
+    out.pop("quarantined_files", None)
+    return out

@@ -12,7 +12,8 @@ Resume logic (generalizing the reference's append-only run history,
 /root/reference/backend/app/utils/history.py:115-128):
 - ``done`` → skip (commit applied).
 - ``intent`` but no ``done`` → the process died between commit and
-  acknowledgment; if the task's input files are no longer live the
+  acknowledgment; if a retained snapshot carries this job/task's tags
+  (``commit_landed``) or the task's input files are no longer live, the
   commit DID land → mark done and skip; otherwise re-run (the staged
   output files are orphans, swept later by reachability GC).
 - neither → run.
@@ -78,3 +79,20 @@ class JobLog:
             tid = os.path.basename(p)[len("done-") : -len(".json")]
             out[tid] = json.load(open(p))
         return out
+
+
+def commit_landed(table, job_id: str, task_id: str) -> bool:
+    """True if a retained snapshot was committed by this job/task —
+    every maintenance commit tags its snapshot summary with
+    ``maint_job_id``/``maint_task_id``, making crash-between-commit-and-
+    ack detection exact instead of inferred from file liveness.
+    O(#retained snapshots) driver-side; snapshot expiration can drop old
+    tags, so callers keep the input-files-no-longer-live heuristic as a
+    fallback."""
+    for snap in table.snapshots():
+        if (
+            snap.summary.get("maint_job_id") == job_id
+            and snap.summary.get("maint_task_id") == task_id
+        ):
+            return True
+    return False

@@ -4,15 +4,26 @@ Semantics (matching Iceberg's `MERGE INTO t USING s ON t.doc_id =
 s.doc_id WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`):
 
 1. Find *affected* target files — files containing at least one matched
-   key — with one distributed semi-join over ``input_file_name()``.
+   key — with one distributed join over ``input_file_name()``.
    Manifest-level pruning on per-file doc_id min/max runs first, so a
    clustered table touches only the overlapping key range.
 2. Rewrite only those files: their rows anti-joined against source keys
-   (rows that survive) unioned with ALL source rows (updates + inserts).
+   (rows that survive) unioned with the matched + inserted source rows.
 3. Commit: remove affected files, add rewritten files. ``required_paths``
    = affected files ⇒ a concurrent commit that rewrote any of them
    aborts this merge with CommitConflict — Iceberg's conflict-detection
    behavior, exercised in tests/test_maintenance.py.
+
+Partial progress at giant scale (``max_batch_files``): when the merge
+touches more files than one commit should carry, the affected files are
+grouped into commit batches, each with its own lineage intent/done
+record and its own snapshot commit — a crash at batch k of n resumes at
+k (re-submit with the same job_id and the same source). The per-key
+batch assignment (each matched source key → the batch holding its
+first matching file) is written ONCE to a parquet side-table under the
+job's lineage dir, so resume never has to rescan already-rewritten
+files; unmatched keys land in a final insert-only append. Batched and
+single-commit modes produce identical final content.
 
 Skew handling: the join key is doc_id (near-unique, no intrinsic skew),
 but heavy ``source`` prefixes can skew the *file* distribution; AQE
@@ -23,14 +34,45 @@ cases (SURVEY.md §4.2).
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.icemini import IceMiniTable, SEQUENCES_SCHEMA
-from .lineage import JobLog
+from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
+from .lineage import JobLog, commit_landed
+
+
+def broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """Session autoBroadcastJoinThreshold in bytes, via Spark's own
+    parsers — handles ``10485760``, ``10m``, ``64MB`` and ``-1`` alike
+    (a hand regex silently mis-parsed unusual forms; VERDICT r3)."""
+    try:
+        return int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+    except Exception:
+        pass
+    val = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "-1")).strip()
+    try:
+        return int(val)
+    except ValueError:
+        pass
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(val)
+        )
+    except Exception:
+        return -1
+
+
+def _chunk(items: list, size: int) -> list[list]:
+    return [items[i : i + size] for i in range(0, len(items), size)]
+
+
+_FILE_NORM = "replace(replace(input_file_name(), 'file://', ''), 'file:', '')"
 
 
 def merge_into(
@@ -39,15 +81,17 @@ def merge_into(
     key: str = "doc_id",
     salt_partitions: int | None = None,
     job_id: str | None = None,
+    max_batch_files: int | None = 256,
 ) -> dict[str, Any]:
     spark = table.spark
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
+    keys_dir = os.path.join(log.dir, "matched_keys")
 
     # last-writer-wins dedup of the source on the merge key; persist —
-    # the source plan is evaluated up to 4 times below (key bounds,
-    # affected-file semi-join, anti-join, rewrite union) and an
-    # expensive upstream plan would otherwise recompute each time
+    # the source plan is evaluated several times below (key stats,
+    # affected-file join, per-batch semi/anti joins) and an expensive
+    # upstream plan would otherwise recompute each time
     source = source.dropDuplicates([key])
     if salt_partitions:
         # deterministic salt — xxhash64(key, seed) spreads near-unique
@@ -56,101 +100,211 @@ def merge_into(
     source = source.persist()
     n_src = source.count()  # materializes the persist; exact key count
 
-    entries = table.live_entries()
+    # ONE stats agg: key bounds (manifest pruning) + average key width
+    # (broadcast size estimate — a fixed per-row constant under-counted
+    # long doc_ids near the threshold; ADVICE r3)
+    kstats = source.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.avg(F.length(F.col(key).cast("string"))).alias("w"),
+    ).collect()[0]
+
     src_keys = source.select(key)
     # Catalyst cannot see that only the key column of the persisted
     # source feeds the joins below — InMemoryRelation stats are not
     # column-pruned, so the 4-column source (token arrays included)
-    # looks far too big to broadcast and both joins degrade to
-    # sort-merge, shuffling the FULL target token payload. The key set's
-    # true size is n_src × ~48 B; hint broadcast when it fits the
-    # session threshold. At 10^12-row scale with ~10^11-key sources the
-    # hint correctly stays off and SMJ + AQE skew handling take over.
-    import re
-
-    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    m = re.fullmatch(r"(-?\d+)\s*([bkmg]?)b?", thr.strip().lower())
-    thr_bytes = int(m.group(1)) * {
-        "": 1, "b": 1, "k": 1024, "m": 1024**2, "g": 1024**3
-    }[m.group(2)] if m else -1
-    if thr_bytes > 0 and n_src * 48 <= thr_bytes:
+    # looks far too big to broadcast and the joins degrade to
+    # sort-merge, shuffling the FULL target token payload. Estimate the
+    # key set's true size (UTF-16 payload + hashed-relation slot
+    # overhead, x2 safety) and hint broadcast when it fits the session
+    # threshold. At 10^12-row scale with ~10^11-key sources the hint
+    # correctly stays off and SMJ + AQE skew handling take over.
+    thr_bytes = broadcast_threshold_bytes(spark)
+    est_bytes = int(n_src * (2 * float(kstats["w"] or 8.0) + 24) * 2)
+    if 0 < est_bytes <= thr_bytes:
         src_keys = F.broadcast(src_keys)
 
+    tasks = log.load_plan()
+    if tasks is None:
+        tasks = _plan_merge(
+            table, src_keys, kstats, keys_dir, max_batch_files
+        )
+        log.write_plan(tasks)
+
+    result: dict[str, Any] = {
+        "job_id": job_id,
+        "tasks": 0,
+        "skipped": 0,
+        "input_files": [],
+        "output_files": [],
+        "rows": 0,
+        "tokens": 0,
+        "matched_files": sum(len(t["input_files"]) for t in tasks),
+    }
+    snap = None
+    for task in tasks:
+        tid = task["task_id"]
+        inputs: list[str] = task["input_files"]
+        if log.is_done(tid):
+            result["skipped"] += 1
+            continue
+        if log.intent(tid) is not None and (
+            commit_landed(table, job_id, tid)
+            or (inputs and not (set(inputs) & table.live_paths()))
+        ):
+            log.mark_done(tid, log.intent(tid))
+            result["skipped"] += 1
+            continue
+
+        rewritten = _task_output(
+            spark, table, task, source, src_keys, key, keys_dir
+        )
+        new_entries: list[FileEntry] = (
+            table.write_data_files(rewritten) if rewritten is not None else []
+        )
+        record = {
+            "task_id": tid,
+            "input_files": inputs,
+            "output_files": [e.path for e in new_entries],
+            "rows": sum(e.rows for e in new_entries),
+            "tokens": sum(e.token_count for e in new_entries),
+        }
+        log.mark_intent(tid, record)
+        snap = table.commit(
+            "merge",
+            added=new_entries,
+            removed_paths=inputs,
+            required_paths=inputs,
+            summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+        )
+        log.mark_done(tid, record)
+        result["tasks"] += 1
+        result["input_files"].extend(inputs)
+        result["output_files"].extend(record["output_files"])
+        result["rows"] += record["rows"]
+        result["tokens"] += record["tokens"]
+
+    source.unpersist()
+    result["snapshot_id"] = (
+        snap.snapshot_id if snap is not None else table.current_version()
+    )
+    return result
+
+
+def _plan_merge(
+    table: IceMiniTable,
+    src_keys: DataFrame,
+    kstats,
+    keys_dir: str,
+    max_batch_files: int | None,
+) -> list[dict[str, Any]]:
+    """Discover affected files and pin the task plan.
+
+    Single-commit plan when the affected set fits one batch; otherwise
+    one task per file batch plus a trailing insert-only task, with the
+    key→batch assignment parquet written under the job dir so later
+    batches (and resumes) never rescan rewritten files.
+    """
+    spark = table.spark
+    entries = table.live_entries()
     # manifest-level pruning: only files whose [min,max] doc_id range can
     # intersect the source keys need scanning to find matches
-    bounds = src_keys.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
     candidates = [
         e
         for e in entries
         if e.min_doc_id is None
-        or bounds["lo"] is None
-        or not (e.max_doc_id < bounds["lo"] or e.min_doc_id > bounds["hi"])
+        or kstats["lo"] is None
+        or not (e.max_doc_id < kstats["lo"] or e.min_doc_id > kstats["hi"])
     ]
+    if not candidates:
+        return [{"task_id": "inserts", "input_files": [], "kind": "inserts"}]
 
-    affected_paths: list[str] = []
-    if candidates:
-        cand_abs = [table._abs(e.path) for e in candidates]
-        tgt = (
-            spark.read.schema(SEQUENCES_SCHEMA)
-            .parquet(*cand_abs)
-            .withColumn(
-                "____file",
-                F.expr("replace(replace(input_file_name(), 'file://', ''), 'file:', '')"),
-            )
-        )
-        hit_files = (
-            tgt.join(src_keys, key, "left_semi")
-            .select("____file")
-            .distinct()
-            .collect()
-        )
-        import os
+    key = src_keys.columns[0]
+    cand_abs = [table._abs(e.path) for e in candidates]
+    tgt = (
+        spark.read.schema(SEQUENCES_SCHEMA)
+        .parquet(*cand_abs)
+        .select(key, F.expr(_FILE_NORM).alias("____file"))
+    )
+    hits = tgt.join(src_keys, key, "inner")
+    single = max_batch_files is None
+    if not single:
+        hits = hits.persist()  # feeds both the distinct and the min-file agg
+    affected_abs = sorted(
+        r["____file"] for r in hits.select("____file").distinct().collect()
+    )
+    affected_rel = [os.path.relpath(p, table.root) for p in affected_abs]
 
-        affected_paths = sorted(
-            os.path.relpath(r["____file"], table.root) for r in hit_files
-        )
+    if not affected_abs:
+        if not single:
+            hits.unpersist()
+        return [{"task_id": "inserts", "input_files": [], "kind": "inserts"}]
 
-    if not affected_paths:
-        # pure insert — append-only commit
-        new_entries = table.write_data_files(source)
-        snap = table.commit("merge", added=new_entries)
-        record = {
-            "input_files": [],
-            "output_files": [e.path for e in new_entries],
-            "rows": sum(e.rows for e in new_entries),
-            "tokens": sum(e.token_count for e in new_entries),
-            "matched_files": 0,
-        }
-        log.write_plan([{"task_id": "merge", **record}])
-        log.mark_done("merge", record)
-        source.unpersist()
-        return {"job_id": job_id, "snapshot_id": snap.snapshot_id, **record}
+    if single or len(affected_abs) <= max_batch_files:
+        if not single:
+            hits.unpersist()
+        return [{"task_id": "merge", "input_files": affected_rel, "kind": "single"}]
 
-    affected_abs = [table._abs(p) for p in affected_paths]
+    batches_abs = _chunk(affected_abs, max_batch_files)
+    batches_rel = _chunk(affected_rel, max_batch_files)
+    file_batch = spark.createDataFrame(
+        [(f, i) for i, batch in enumerate(batches_abs) for f in batch],
+        "____file string, __batch int",
+    )
+    # each matched key is upserted in exactly ONE batch — the one owning
+    # its first matching file — so batched content == single-commit
+    # content even when duplicate doc_ids span batches
+    (
+        hits.groupBy(key)
+        .agg(F.min("____file").alias("____file"))
+        .join(F.broadcast(file_batch), "____file")
+        .select(key, "__batch")
+        .write.mode("overwrite")
+        .parquet(keys_dir)
+    )
+    hits.unpersist()
+    tasks: list[dict[str, Any]] = [
+        {"task_id": f"batch-{i:05d}", "input_files": b, "kind": "batch", "batch": i}
+        for i, b in enumerate(batches_rel)
+    ]
+    tasks.append({"task_id": "inserts", "input_files": [], "kind": "inserts"})
+    return tasks
+
+
+def _task_output(
+    spark: SparkSession,
+    table: IceMiniTable,
+    task: dict[str, Any],
+    source: DataFrame,
+    src_keys: DataFrame,
+    key: str,
+    keys_dir: str,
+) -> DataFrame | None:
+    """The rows a merge task writes (None ⇒ nothing to write, commit is
+    a pure file-removal/no-op)."""
+    kind = task.get("kind", "single")
+    cols = SEQUENCES_SCHEMA.fieldNames()
+    if kind == "inserts":
+        ins = source
+        if os.path.isdir(keys_dir):
+            matched = spark.read.parquet(keys_dir).select(key)
+            ins = source.join(matched, key, "left_anti")
+        return ins.select(*cols)
+
+    inputs_abs = [table._abs(p) for p in task["input_files"]]
     survivors = (
         spark.read.schema(SEQUENCES_SCHEMA)
-        .parquet(*affected_abs)
+        .parquet(*inputs_abs)
         .join(src_keys, key, "left_anti")
     )
-    rewritten = survivors.select(*SEQUENCES_SCHEMA.fieldNames()).unionByName(
-        source.select(*SEQUENCES_SCHEMA.fieldNames())
-    )
-    new_entries = table.write_data_files(rewritten)
-    record = {
-        "input_files": affected_paths,
-        "output_files": [e.path for e in new_entries],
-        "rows": sum(e.rows for e in new_entries),
-        "tokens": sum(e.token_count for e in new_entries),
-        "matched_files": len(affected_paths),
-    }
-    log.write_plan([{"task_id": "merge", **record}])
-    log.mark_intent("merge", record)
-    snap = table.commit(
-        "merge",
-        added=new_entries,
-        removed_paths=affected_paths,
-        required_paths=affected_paths,
-    )
-    log.mark_done("merge", record)
-    source.unpersist()
-    return {"job_id": job_id, "snapshot_id": snap.snapshot_id, **record}
+    if kind == "single":
+        # matched updates + inserts in one pass — one commit total
+        upserts = source
+    else:
+        keys_b = (
+            spark.read.parquet(keys_dir)
+            .where(F.col("__batch") == task["batch"])
+            .select(key)
+        )
+        upserts = source.join(keys_b, key, "left_semi")
+    return survivors.select(*cols).unionByName(upserts.select(*cols))

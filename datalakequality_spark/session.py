@@ -79,14 +79,15 @@ def get_spark(
         # (measured: 75 task-seconds for 97 tmpfs paths, ~0 run time)
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
     )
-    # shuffle/spill blocks on tmpfs when present: this sandbox's /tmp is
-    # on a single virtio disk (~20-25 MB/s sustained under load) — every
-    # shuffle would serialize behind it, a wall a real cluster's
-    # per-executor NVMe local dirs do not have. Spark removes its
-    # spark-<uuid> dir on clean shutdown; SPARK_GRAFT_LOCAL_DIR overrides.
+    # spark.local.dir stays on Spark's default (real disk) unless the
+    # caller opts in: RAM-backed tmpfs local dirs cap shuffle/spill at
+    # the tmpfs quota (typically RAM/2) and fail instead of spilling, so
+    # they are a bench/sandbox tuning, not a library default. bench.py
+    # and scripts/scaling_bench.py set SPARK_GRAFT_LOCAL_DIR explicitly
+    # because this sandbox's single virtio disk (~20-25 MB/s sustained)
+    # would serialize every shuffle — a wall a real cluster's
+    # per-executor NVMe local dirs do not have.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/dlq_spark_local"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     for k in _worker_env:

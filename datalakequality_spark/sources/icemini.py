@@ -601,10 +601,18 @@ class IceMiniTable:
 
     # ------------------------------------------------------------------- GC
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+    def expire_snapshots(
+        self, keep_last: int = 1, orphan_temp_age_s: float = 3600.0
+    ) -> dict[str, Any]:
         """Drop all but the last ``keep_last`` snapshots and GC anything
         unreachable: data files and manifests referenced by no retained
-        snapshot, plus staged orphans never committed."""
+        snapshot, plus staged orphans never committed.
+
+        ``.inprogress-*`` writer temps are removed only when older than
+        ``orphan_temp_age_s`` (Iceberg's orphan-file-cleanup mtime
+        pattern): an expire running concurrently with an in-flight
+        rewrite/merge must not unlink temps a writer task still holds
+        open — its rename-to-final would fail and kill the job."""
         current = self.current_version()
         keep_versions = set(range(max(1, current - keep_last + 1), current + 1))
         retained_manifests: set[str] = set()
@@ -620,10 +628,13 @@ class IceMiniTable:
             retained_files.update(q["path"] for q in snap.quarantine if "path" in q)
 
         deleted_files, deleted_manifests, deleted_snapshots = [], [], []
-        # stale writer temps from failed/retried tasks (never renamed)
+        # stale writer temps from failed/retried tasks (never renamed) —
+        # age-gated so live writers' open temps survive a concurrent GC
+        now = time.time()
         for p in glob.glob(os.path.join(self.data_dir, ".inprogress-*")):
             try:
-                os.remove(p)
+                if now - os.path.getmtime(p) >= orphan_temp_age_s:
+                    os.remove(p)
             except OSError:
                 pass
         for p in glob.glob(os.path.join(self.data_dir, "*.parquet")):

@@ -98,14 +98,28 @@ def streaming_sessionize(
                 for t in np.sort(np.concatenate(chunks)):
                     t = int(t)
                     if last is None:
-                        start, n = t, 1
+                        start = last = t
+                        n = 1
                     elif t - last > gap_us:
                         closed.append((key[0], sid, n, start, last))
                         sid += 1
-                        start, n = t, 1
+                        start = last = t
+                        n = 1
+                    elif t < start - gap_us:
+                        # older than the open session's reach: a
+                        # late-but-within-watermark event from a session
+                        # that already closed — dropping matches the
+                        # watermark contract (emitted sessions are final)
+                        continue
                     else:
+                        # in-gap event, possibly EARLIER than the stored
+                        # state (late arrival): the session extends
+                        # downward at start and must never move `last`
+                        # backward — a shrinking end_ts made the
+                        # event-time timeout fire before last_event+gap
                         n += 1
-                    last = t
+                        start = min(start, t)
+                        last = max(last, t)
             if last is not None:
                 state.update((int(start), int(last), int(n), int(sid)))
                 # flush the open session once the watermark passes

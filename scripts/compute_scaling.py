@@ -54,6 +54,8 @@ def prepare(rows: int) -> None:
 
 def worker(cpus: int, rows: int) -> None:
     os.environ["SPARK_DRIVER_MEMORY"] = "24g"
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dlq_spark_local")
     from pyspark.sql import functions as F
 
     from datalakequality_spark.functions.spacecurves import with_cluster_key

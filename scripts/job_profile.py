@@ -28,6 +28,8 @@ def main() -> None:
     os.environ["BENCH_ROWS"] = str(args.rows)
     os.environ.setdefault("BENCH_MEAN_TOKENS", "128")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    if os.path.isdir("/dev/shm"):
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dlq_spark_local")
 
     evt_dir = tempfile.mkdtemp(prefix="spark-events-", dir="/dev/shm")
 

@@ -74,6 +74,9 @@ def worker(cpus: int, rows: int, executors: bool = False) -> None:
     os.environ["BENCH_ROWS"] = str(rows)
     os.environ.setdefault("BENCH_MEAN_TOKENS", "128")
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    if os.path.isdir("/dev/shm"):
+        # tmpfs shuffle dirs are a bench opt-in (library default = disk)
+        os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/dlq_spark_local")
     if executors and os.path.isdir("/dev/shm"):
         # local-cluster workers place shuffle/spill under SPARK_LOCAL_DIRS
         # (spark.local.dir is ignored with a cluster manager) — keep it

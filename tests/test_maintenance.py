@@ -251,3 +251,132 @@ def test_cli_rewrite_merge_expire(spark, table, tmp_path, monkeypatch, capsys):
     # resume semantics: re-submitting the same rewrite job id is a no-op
     out = cli.main(["rewrite", "--table", table.root, "--job-id", "cli-r1"])
     assert out["skipped"] == 1 and out["tasks"] == 0
+
+
+def test_rewrite_shards_crash_resume(spark, tmp_path, monkeypatch):
+    """The fused rewrite plans multiple independent shards; a crash
+    after shard k leaves k committed shards that resume SKIPS (no
+    partition processed twice — SURVEY §5.2.3), and the resumed run's
+    final content equals the uninterrupted result (content invariance
+    of the rewrite)."""
+    t = IceMiniTable.create(spark, str(tmp_path / "shards"))
+    t.append(generate_sequences(spark, 6000), target_file_rows=500)
+    h0 = _content_hash(t)
+    job = "rewrite-shards-test"
+
+    real_mark_done = JobLog.mark_done
+    calls = {"n": 0}
+
+    def dying_mark_done(self, task_id, record):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash at shard 3")
+        return real_mark_done(self, task_id, record)
+
+    monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError):
+        # 1500-row shards over 12x500-row files -> 4 shards
+        rewrite_sorted(t, target_rows_per_file=1500, max_shard_rows=1500, job_id=job)
+    # shard 3's commit landed (crash was post-commit, pre-ack)
+    v_after_crash = t.current_version()
+
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    r = rewrite_sorted(t, target_rows_per_file=1500, max_shard_rows=1500, job_id=job)
+    # 2 acked shards skipped + the landed-but-unacked shard 3 skipped
+    assert r["skipped"] == 3 and r["tasks"] == 1
+    assert t.current_version() == v_after_crash + 1
+    assert _content_hash(t) == h0
+    assert t.scan().count() == 6000
+    # re-run once more: everything done, nothing re-processed
+    r2 = rewrite_sorted(t, target_rows_per_file=1500, max_shard_rows=1500, job_id=job)
+    assert r2["skipped"] == 4 and r2["tasks"] == 0
+
+
+def test_merge_batched_equals_single(spark, tmp_path):
+    """Batched MERGE (max_batch_files) produces byte-identical content
+    to the single-commit path, with one snapshot per batch + inserts."""
+    t1 = IceMiniTable.create(spark, str(tmp_path / "m1"))
+    t1.append(generate_sequences(spark, 4000), target_file_rows=500)
+    t2 = IceMiniTable.create(spark, str(tmp_path / "m2"))
+    t2.append(generate_sequences(spark, 4000), target_file_rows=500)
+    src = generate_merge_batch(spark, 4000, insert_rows=400)
+
+    v1 = t1.current_version()
+    r1 = merge_into(t1, src, max_batch_files=None)  # single commit
+    r2 = merge_into(t2, src, max_batch_files=3)  # batched commits
+    assert t1.current_version() == v1 + 1
+    # batched: ceil(affected/3) batch commits + 1 insert commit
+    assert t2.current_version() > v1 + 1
+    assert r2["matched_files"] == r1["matched_files"]
+    assert _content_hash(t1) == _content_hash(t2)
+    assert t1.scan().count() == t2.scan().count() == 4400
+
+
+def test_merge_batched_crash_resume(spark, tmp_path, monkeypatch):
+    """Crash at batch k of a batched MERGE: resume with the same job_id
+    and source skips landed batches and completes the rest; final
+    content equals an uninterrupted single-commit merge."""
+    t = IceMiniTable.create(spark, str(tmp_path / "mc"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=500)
+    ref = IceMiniTable.create(spark, str(tmp_path / "mref"))
+    ref.append(generate_sequences(spark, 4000), target_file_rows=500)
+    src = generate_merge_batch(spark, 4000, insert_rows=400)
+    merge_into(ref, src, max_batch_files=None)
+
+    job = "merge-batch-resume"
+    real_mark_done = JobLog.mark_done
+    calls = {"n": 0}
+
+    def dying_mark_done(self, task_id, record):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash at batch 2")
+        return real_mark_done(self, task_id, record)
+
+    monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
+    with pytest.raises(RuntimeError):
+        merge_into(t, src, max_batch_files=3, job_id=job)
+
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    r = merge_into(t, src, max_batch_files=3, job_id=job)
+    # batch 1 acked + batch 2 landed-but-unacked -> both skipped
+    assert r["skipped"] == 2 and r["tasks"] >= 1
+    assert _content_hash(t) == _content_hash(ref)
+    assert t.scan().count() == 4400
+    # keys updated exactly once: no duplicate doc_ids anywhere
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_broadcast_threshold_parsing(spark):
+    """merge's broadcast gate parses every conf form Spark accepts
+    (plain bytes, short suffix, unit suffix, disabled)."""
+    from datalakequality_spark.maintenance.merge import broadcast_threshold_bytes
+
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [
+            ("10485760", 10 * 1024 * 1024),
+            ("10m", 10 * 1024 * 1024),
+            ("64MB", 64 * 1024 * 1024),
+            ("-1", -1),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+
+
+def test_expire_preserves_fresh_inprogress_temps(spark, table):
+    """A concurrent writer's open .inprogress temp must survive GC
+    (age-gated orphan cleanup); stale temps are removed."""
+    fresh = os.path.join(table.data_dir, ".inprogress-live-writer")
+    open(fresh, "w").write("x")
+    stale = os.path.join(table.data_dir, ".inprogress-stale")
+    open(stale, "w").write("x")
+    old = __import__("time").time() - 7200
+    os.utime(stale, (old, old))
+    table.expire_snapshots(keep_last=1)
+    assert os.path.exists(fresh)
+    assert not os.path.exists(stale)
+    table.expire_snapshots(keep_last=1, orphan_temp_age_s=0)
+    assert not os.path.exists(fresh)

@@ -187,3 +187,55 @@ def test_many_microbatches_flat_epoch_cost(spark, tmp_path):
     assert scans_during_stream == 1, scans_during_stream
     # informational: flat per-batch cost → 50 batches in bounded wall time
     assert wall < 300
+
+
+def test_streaming_sessionize_late_event_within_watermark(spark, tmp_path):
+    """A late-but-within-watermark event that PRECEDES the stored open
+    session must extend start downward, never move last/end_ts backward
+    (a shrinking end_ts made the event-time timeout fire early and
+    merged pre-session events silently)."""
+    import datetime as dt
+
+    from datalakequality_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # batch 1: user 1 at 100s and 200s (open session, last=200)
+    spark.createDataFrame(
+        [(1, ts(100)), (1, ts(200))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: late event at 50s — inside the gap, inside the watermark;
+    # the session must become [50, 200], not end at 50
+    spark.createDataFrame(
+        [(1, ts(50))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: far-future other user → timeout flushes user 1's session
+    spark.createDataFrame(
+        [(99, ts(100_000))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessionize(stream, "user_id", "ts", gap_seconds=1800)
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = sorted(
+        (r["user_id"], r["session_id"], r["n_events"], r["start_ts"], r["end_ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(1, 0, 3, ts(50), ts(200))]
