@@ -624,10 +624,14 @@ def q_maintain_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF-shaped ANN (coarse cells + multi-probe + exact re-rank) over
-    # the same planted-neighbor construction as ann_topk; the oracle is
+    # IVF ANN through the REAL index path in the correctness gate: a
+    # spherical-k-means codebook (trained on a bounded sample), the
+    # cell id materialized as a table column, files clustered on it,
+    # and the probe reading ONLY the probed cells' files via manifest
+    # pruning (sources/annindex.AnnIvfIndex) — then exact re-rank. Same
+    # planted-neighbor construction as ann_topk; the oracle is
     # brute-force SQL top-10 — hash_match certifies IVF == exact.
-    from datalakequality_spark.operators.similarity import ivf_topk
+    from datalakequality_spark.sources.annindex import AnnIvfIndex
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
@@ -644,7 +648,11 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     both = emb.unionByName(planted)
-    return ivf_topk(both, "vec_id", "embedding", query, k=10, n_centroids=16, n_probe=6)
+    root = _seq_table_tmpdir("dlq-ivf-q-")
+    idx = AnnIvfIndex.build(
+        spark, both, "vec_id", "embedding", root, n_centroids=16
+    )
+    return idx.topk(query, k=10, n_probe=6)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

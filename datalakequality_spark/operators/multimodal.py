@@ -3,11 +3,14 @@ columns with typed metadata.
 
 The Spark side is REAL and tested — schema conventions, Arrow batch
 shapes, `mapInPandas` partition-level processing, deterministic
-partitioning — while the actual media decoding is STUBBED: the
-image/audio libraries are not in this environment, so ``decode=`` is a
-pluggable callable and the default is either a clearly-marked
-``NotImplementedError`` (strict mode) or a deterministic fake feature
-extractor (hash-derived, reproducible) for pipeline testing.
+partitioning. ``decode=`` is a pluggable callable; GENUINE decoders
+ship for formats the standard library + numpy can handle (WAV via
+stdlib ``wave``, binary PPM via numpy — ``decode_wav``/``decode_ppm``,
+feature extractors ``wav_features``/``ppm_features``, magic-byte
+dispatch ``auto_decode``), exercised end-to-end through mapInPandas in
+tests/test_training_ops.py. Formats needing external libs (JPEG/MP4/
+FLAC…) stay behind ``real_decode_stub`` (strict NotImplementedError)
+or the deterministic ``fake_decode`` for pipeline testing.
 
 Schema convention for a media column ``m``:
 
@@ -58,6 +61,108 @@ def fake_decode(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
     return np.frombuffer(digest[:16 * 4][: len(digest) // 4 * 4], dtype=np.uint8)[
         :16
     ].astype(np.float32) / 255.0
+
+
+# --------------------------------------------------------- real codecs
+# Genuine decode paths that need no external media library: WAV via the
+# stdlib `wave` module, PPM (P6) via pure numpy. They plug into the same
+# ``decode=`` hook as a PIL/libav decoder would, so the Spark plumbing
+# exercised in tests is byte-identical to a production pipeline's.
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV → (samples float64 in [-1, 1] shaped (n, channels),
+    sample_rate). stdlib-only; 8/16/32-bit integer PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return x.reshape(-1, n_ch), rate
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 image array shaped (H, W, 3). Pure
+    numpy header parse + frombuffer."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    img = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return img.reshape(h, w, 3)
+
+
+def wav_features(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """16 deterministic features from a REAL WAV decode: duration, rms,
+    peak, zero-crossing rate, mean, and 10 coarse energy bands."""
+    x, rate = decode_wav(payload)
+    mono = x.mean(axis=1)
+    n = max(len(mono), 1)
+    zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / n
+    bands = [float(np.sqrt(np.mean(np.square(c)))) if len(c) else 0.0
+             for c in np.array_split(mono, 10)]
+    feats = [
+        n / float(rate),
+        float(np.sqrt(np.mean(np.square(mono)))) if len(mono) else 0.0,
+        float(np.max(np.abs(mono))) if len(mono) else 0.0,
+        zc,
+        float(np.mean(mono)) if len(mono) else 0.0,
+        float(x.shape[1]),
+    ] + bands
+    return np.asarray(feats, dtype=np.float32)
+
+
+def ppm_features(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """16 deterministic features from a REAL PPM decode: dims, per-
+    channel mean/std, luma quartiles and a 5-bin luma histogram."""
+    img = decode_ppm(payload).astype(np.float64)
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=5, range=(0.0, 255.0))
+    feats = (
+        [float(img.shape[1]), float(img.shape[0])]
+        + [float(img[..., c].mean()) for c in range(3)]
+        + [float(img[..., c].std()) for c in range(3)]
+        + [float(q) for q in np.percentile(luma, [25, 50, 75])]
+        + (hist / max(luma.size, 1)).tolist()
+    )
+    return np.asarray(feats[:16], dtype=np.float32)
+
+
+def auto_decode(payload: bytes, meta: dict[str, Any]) -> np.ndarray:
+    """Magic-byte dispatch to a real codec (RIFF → WAV, P6 → PPM);
+    unknown formats fall back to the deterministic fake extractor so a
+    mixed-modality corpus never kills the batch."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_features(payload, meta)
+    if payload[:2] == b"P6":
+        return ppm_features(payload, meta)
+    return fake_decode(payload, meta)
 
 
 def extract_features(

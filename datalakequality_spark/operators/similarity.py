@@ -6,10 +6,11 @@ oracle); the scale path is hyperplane-LSH bucketing with multi-probe
 via zip_with/aggregate — no Python in the data path.
 
 Scale notes: brute force is a full scan per query — fine for batched
-scoring (the scan is embarrassingly parallel, no shuffle). The LSH
-path prunes the scan to matching buckets; bucket ids can be written as
-a table column and used for manifest-level pruning so ANN probes read
-only matching files.
+scoring (the scan is embarrassingly parallel, no shuffle). The LSH and
+IVF paths prune the *compute* to matching buckets/cells; the *I/O*
+pruning — reading only matching files — is sources/annindex.AnnIvfIndex,
+which materializes the IVF cell id as a table column, clusters files on
+it, and manifest-prunes probes (tested: probed files < total files).
 """
 
 from __future__ import annotations
@@ -60,6 +61,15 @@ def cosine_topk(
     )
 
 
+def random_codebook(n_centroids: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random-projection codebook (unit Gaussian
+    centroids) — the untrained baseline a trained quantizer must beat
+    (tests/test_training_ops.py recall comparison)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -69,44 +79,47 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
+    train_sample_rows: int = 4096,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into ``n_centroids``
     cells, probe the ``n_probe`` cells nearest the query, exact-rank
     inside them.
 
-    The coarse quantizer is a deterministic random-projection codebook
-    (unit Gaussian centroids, seeded) rather than trained k-means —
-    assignment quality is what LSH gives, but the *query path* is the
-    IVF shape: at scale the cell id is materialized as a table column,
-    the table is clustered on it, and a probe reads only
-    n_probe/n_centroids of the files via manifest pruning (the same
-    file-skipping path IceMiniTable.prune_entries implements for
-    n_tok). Assignment is one Arrow-batched numpy matmul per partition
-    (vectorized pandas UDF); ranking reuses the JVM cosine expression.
+    The coarse quantizer defaults to spherical k-means trained on a
+    bounded driver-side sample (sources/annindex.train_kmeans —
+    deterministic Lloyd's); pass ``centroids`` to reuse a codebook
+    (e.g. ``random_codebook`` for the untrained baseline). Assignment
+    is one Arrow-batched numpy matmul per partition (vectorized pandas
+    UDF, centroids closure-captured — no plan literals); ranking reuses
+    the JVM cosine expression.
+
+    This is the compute-only shape: every row is still scanned to be
+    assigned. The I/O-pruned shape — the one that matters at 100 TB —
+    is sources/annindex.AnnIvfIndex, which materializes the cell id as
+    a table column, clusters files on it, and reads only the probed
+    cells' files via manifest pruning.
     """
-    from pyspark.sql import types as T
+    from ..sources.annindex import cell_assign_udf, train_kmeans
 
-    dim = len(query)
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-
-    @F.pandas_udf(T.IntegerType())
-    def _cell(v: pd.Series) -> pd.Series:
-        mat = np.asarray(v.tolist(), dtype=np.float64)  # (batch, dim)
-        sims = mat @ cents.T  # cosine ∝ dot: centroids are unit-norm
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        np.divide(sims, norms, out=sims, where=norms > 0)
-        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+    if centroids is None:
+        sample = df.select(vec_col).limit(train_sample_rows).toPandas()
+        centroids = train_kmeans(
+            np.asarray(sample[vec_col].tolist(), dtype=np.float64),
+            n_centroids,
+            seed=seed,
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
 
     q = np.asarray(query, dtype=np.float64)
     qsims = cents @ (q / np.linalg.norm(q))
     probe_cells = [int(c) for c in np.argsort(-qsims)[:n_probe]]
 
-    candidates = (
-        df.select(F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("__cell"))
-        .where(F.col("__cell").isin(probe_cells))
-    )
+    candidates = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cell_assign_udf(cents)(F.col(vec_col)).alias("__cell"),
+    ).where(F.col("__cell").isin(probe_cells))
     return cosine_topk(candidates, id_col, vec_col, query, k)
 
 

@@ -417,3 +417,170 @@ def test_minhash_kernel_matches_bigint_reference():
             ap = int(a[p]) % M64
             expected = min(((sh * ap) % M64) >> 33 for sh in shingles)
             assert got[out_row, p] == expected, (i, p)
+
+
+# ----------------------------------------------------------------- IVF index
+
+
+def _blob_data(n_blobs=16, per_blob=120, dim=32, noise=0.25, seed=7):
+    """Clustered unit vectors: blob center + Gaussian noise — loose
+    enough that a random-direction codebook splits blobs across cells
+    while trained k-means keeps them together."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_blobs, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for b in range(n_blobs):
+        pts = centers[b] + noise * rng.standard_normal((per_blob, dim))
+        vecs.append(pts)
+        labels.extend([b] * per_blob)
+    v = np.vstack(vecs)
+    return v / np.linalg.norm(v, axis=1, keepdims=True), np.array(labels)
+
+
+def test_ann_index_prunes_files_and_matches_brute(spark, tmp_path):
+    """The IVF index materializes the cell id as a table column and a
+    probe reads ONLY the probed cells' files (manifest pruning) — and
+    the pruned result still equals exact brute force on the probed
+    cells' content, with full recall of planted neighbors."""
+    from datalakequality_spark.sources.annindex import AnnIvfIndex
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((600, 16))
+    q = vecs[0].copy()
+    for i in range(1, 8):  # planted near neighbors of the query
+        vecs[i] = q + rng.standard_normal(16) * 0.05
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(600)], "id long, v array<double>"
+    )
+    idx = AnnIvfIndex.build(
+        spark, df, "id", "v", str(tmp_path / "ivf"), n_centroids=8
+    )
+    total_files = len(idx.manifest["files"])
+    cells = idx.probe_cells(q.tolist(), n_probe=3)
+    probed = idx.prune_files(cells)
+    assert 0 < len(probed) < total_files  # the I/O pruning is real
+    # pruned scan reads exactly the probed cells' rows
+    scanned = idx.scan_cells(cells).count()
+    assert 0 < scanned < 600
+
+    got = [r["id"] for r in idx.topk(q.tolist(), k=8, n_probe=3).collect()]
+    # planted neighbors share the query's direction → its cell; the
+    # trained quantizer must recover them through the pruned path
+    assert got[0] == 0
+    assert len(set(got) & set(range(1, 8))) >= 6
+
+
+def test_trained_kmeans_recall_beats_random_codebook(spark):
+    """The spherical-k-means quantizer's recall@10 at equal n_probe is
+    at least the random-projection codebook's on clustered data (the
+    reason to train at all)."""
+    from datalakequality_spark.operators.similarity import (
+        ivf_topk,
+        random_codebook,
+    )
+    from datalakequality_spark.sources.annindex import train_kmeans
+
+    v, _labels = _blob_data()
+    df = spark.createDataFrame(
+        [(i, v[i].tolist()) for i in range(len(v))], "id long, v array<double>"
+    )
+    trained = train_kmeans(v, 16, seed=5)
+    random_c = random_codebook(16, v.shape[1], seed=5)
+
+    rng = np.random.default_rng(13)
+    queries = rng.choice(len(v), size=8, replace=False)
+    cos = v @ v.T  # unit-norm rows → cosine matrix
+
+    def recall(centroids) -> float:
+        hits = 0
+        for qi in queries:
+            true10 = set(np.argsort(-cos[qi])[:10])
+            got = {
+                r["id"]
+                for r in ivf_topk(
+                    df, "id", "v", v[qi].tolist(), k=10, n_centroids=16,
+                    n_probe=2, centroids=centroids,
+                ).collect()
+            }
+            hits += len(got & true10)
+        return hits / (10 * len(queries))
+
+    r_trained, r_random = recall(trained), recall(random_c)
+    # measured: trained ≈ 0.96, random ≈ 0.54 on this construction
+    assert r_trained >= r_random + 0.2
+    assert r_trained >= 0.9
+
+
+# ------------------------------------------------------------- real codecs
+
+
+def _wav_bytes(freq=440.0, rate=8000, secs=0.25, channels=1):
+    import io
+    import wave
+
+    t = np.arange(int(rate * secs)) / rate
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    if channels == 2:
+        x = np.column_stack([x, x // 2]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(w=12, h=8, seed=3):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return b"P6\n# synthetic\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def test_decode_wav_roundtrip():
+    from datalakequality_spark.operators.multimodal import decode_wav
+
+    payload = _wav_bytes(freq=440.0, rate=8000, secs=0.25, channels=2)
+    x, rate = decode_wav(payload)
+    assert rate == 8000 and x.shape == (2000, 2)
+    assert np.all(np.abs(x) <= 1.0)
+    # channel 1 is half of channel 0 (as synthesized)
+    assert abs(np.abs(x[:, 1]).max() - np.abs(x[:, 0]).max() / 2) < 0.01
+
+
+def test_decode_ppm_roundtrip():
+    from datalakequality_spark.operators.multimodal import decode_ppm
+
+    payload, img = _ppm_bytes()
+    got = decode_ppm(payload)
+    assert got.shape == (8, 12, 3)
+    assert np.array_equal(got, img)
+
+
+def test_extract_features_real_codecs_through_mapinpandas(spark):
+    """REAL decode path end-to-end through the Arrow plumbing: WAV and
+    PPM payloads flow through mapInPandas with auto_decode, and the
+    distributed features equal the driver-side computation exactly."""
+    from datalakequality_spark.operators.multimodal import (
+        auto_decode,
+        extract_features,
+        ppm_features,
+        wav_features,
+    )
+
+    wavs = {i: _wav_bytes(freq=200.0 + 50 * i, secs=0.1 + 0.05 * i) for i in range(4)}
+    ppms = {i + 10: _ppm_bytes(w=6 + i, h=4 + i, seed=i)[0] for i in range(4)}
+    rows = [(k, bytearray(v)) for k, v in {**wavs, **ppms}.items()]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {
+        int(r["id"]): np.asarray(r["features"], dtype=np.float32)
+        for r in extract_features(df, "payload", "id", decode=auto_decode).collect()
+    }
+    assert len(out) == 8
+    for k, v in wavs.items():
+        np.testing.assert_allclose(out[k], wav_features(v, {})[:16], rtol=1e-6)
+    for k, v in ppms.items():
+        np.testing.assert_allclose(out[k], ppm_features(v, {})[:16], rtol=1e-6)
+    # duration feature reflects the real decode (0.1 s vs 0.25 s clips)
+    assert out[0][0] < out[3][0]
