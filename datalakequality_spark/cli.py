@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     p.add_argument("--gate", action="store_true",
                    help="run the per-file quality gate; failing files "
                         "are quarantined out of the rewrite")
+    p.add_argument("--max-shard-rows", type=int, default=None,
+                   help="rows per independently-committed rewrite shard "
+                        "(default 64x target-rows; crash at shard k "
+                        "resumes at k)")
 
     p = sub.add_parser("compact", help="bin-packing compaction only")
     _add_common(p)
@@ -87,6 +91,10 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     p.add_argument("--salt-partitions", type=int, default=None,
                    help="pre-repartition the source by a salted key "
                         "(pathological source skew)")
+    p.add_argument("--max-batch-files", type=int, default=256,
+                   help="affected files per commit batch (partial "
+                        "progress on giant merges; crash at batch k "
+                        "resumes at k)")
 
     p = sub.add_parser("expire", help="snapshot expiration + reachability GC")
     _add_common(p)
@@ -109,6 +117,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             target_rows_per_file=args.target_rows,
             job_id=args.job_id,
             quality_gate=args.gate,
+            max_shard_rows=args.max_shard_rows,
         )
     elif args.cmd == "compact":
         from .maintenance.compaction import compact_table
@@ -140,6 +149,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             key=args.key,
             salt_partitions=args.salt_partitions,
             job_id=args.job_id,
+            max_batch_files=args.max_batch_files,
         )
     elif args.cmd == "expire":
         out = table.expire_snapshots(keep_last=args.keep_last)
