@@ -11,12 +11,15 @@ scale:
   operators (dedup, similarity search, text analysis, context chunking,
   sessionization, as-of join, multimodal plumbing).
 - ``sources/``     — the "IceMini" table format (Parquet data files + JSON
-  manifests/snapshots + atomic version pointer), deterministic synthetic
+  manifests/snapshots + atomic version pointer), the IVF ANN index
+  (cell-clustered embedding layout with manifest file pruning +
+  trained spherical-k-means codebook), deterministic synthetic
   sequence generation, and cross-run state (contracts/baselines/history).
 - ``maintenance/`` — bin-packing compaction, Z-order/Hilbert clustering,
-  a fused one-pass sorted rewrite (compact+cluster), MERGE INTO
-  (copy-on-write), snapshot expiration with reachability GC,
-  per-partition lineage log + resume.
+  a fused one-pass sorted rewrite (compact+cluster) sharded into
+  independently-committed, crash-resumable tasks, MERGE INTO
+  (copy-on-write, batched commits for partial progress), snapshot
+  expiration with reachability GC, per-partition lineage log + resume.
 - ``plans/``       — orchestration (quality-gate pipeline mirroring the
   reference's run order, maintenance job planner).
 - ``functions/``   — reusable column expressions (z-order keys, hashes,

@@ -98,16 +98,18 @@ def merge_into(
         # keys evenly without breaking run-to-run reproducibility
         source = source.repartition(salt_partitions, F.xxhash64(key, F.lit(42)))
     source = source.persist()
-    n_src = source.count()  # materializes the persist; exact key count
 
-    # ONE stats agg: key bounds (manifest pruning) + average key width
-    # (broadcast size estimate — a fixed per-row constant under-counted
-    # long doc_ids near the threshold; ADVICE r3)
+    # ONE stats agg (also materializes the persist): exact key count,
+    # key bounds (manifest pruning), average key width (broadcast size
+    # estimate — a fixed per-row constant under-counted long doc_ids
+    # near the threshold; ADVICE r3)
     kstats = source.agg(
+        F.count(F.lit(1)).alias("n"),
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
         F.avg(F.length(F.col(key).cast("string"))).alias("w"),
     ).collect()[0]
+    n_src = int(kstats["n"])
 
     src_keys = source.select(key)
     # Catalyst cannot see that only the key column of the persisted
