@@ -436,6 +436,19 @@ slots). Identity: **eff = (ts_N / ts_4N) × (occ_4N / occ_N)**.
   and disks along with the cores, so this factor ≈ 1 there; on this
   sandbox it is the dominant loss and is measured, not assumed.
 
+Evidence the inflation is the box, not the engine's tasks: per-task
+logical work is identical by construction (same input, same data-derived
+file/partition targets), per-worker thread pools are pinned to 1, steal%
+stays ~0 while guest sys% rises monotonically with co-located executor
+count (0.6% at 1 → 5-10% at 4 → ~21% at 8) — kernel time, not compute,
+absorbs the extra task-seconds; and the r2 pure-CPU multiprocess probe
+(no kernel data path) holds 0.96 over the same 2→8-core span. One
+honest residual: at N=1 every shuffle fetch is executor-local while at
+4N most are remote (loopback TCP through one kernel) — a real cluster
+also pays remote fetches but through per-node NICs that scale with N;
+this term is attributed to the host column here because the single
+shared kernel is what serializes it.
+
 N→4N efficiencies, eff = T_N / (4 × T_4N), target ≥ 0.8:
 
 | pair | best eff | median eff | best engine eff | median engine eff | note |
