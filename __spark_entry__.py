@@ -576,7 +576,10 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _seq_table_tmpdir("dlq-merge-q-")
     t = IceMiniTable.create(spark, root)
     t.append(target, target_file_rows=max(1, d.count() // 8))
-    merge_into(t, updates.unionByName(inserts))
+    # max_batch_files=4 forces the BATCHED commit path (per-batch
+    # lineage + key→batch side-table + trailing insert commit) through
+    # the oracle — batched content must equal the single-commit SQL
+    merge_into(t, updates.unionByName(inserts), max_batch_files=4)
     return t.scan().select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
@@ -607,11 +610,14 @@ def q_maintain_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _seq_table_tmpdir("dlq-rewrite-q-")
     t = IceMiniTable.create(spark, root)
     t.append(target, target_file_rows=max(1, n_docs // 48))
+    # max_shard_rows forces ≥3 independently-committed shards, so the
+    # oracle certifies the SHARDED rewrite path's content invariance
     rewrite_sorted(
         t,
         method="zorder",
         target_rows_per_file=max(1, n_docs // 6),
         quality_gate=True,
+        max_shard_rows=max(1, n_docs // 3),
     )
     return t.scan().select(
         "doc_id",
