@@ -380,3 +380,22 @@ def test_expire_preserves_fresh_inprogress_temps(spark, table):
     assert not os.path.exists(stale)
     table.expire_snapshots(keep_last=1, orphan_temp_age_s=0)
     assert not os.path.exists(fresh)
+
+
+def test_merge_salted_source_equals_unsalted(spark, tmp_path):
+    """north_rule skew handling: a pathologically single-partition,
+    source-skewed merge batch routed through salted repartitioning
+    produces byte-identical content to the unsalted path."""
+    t1 = IceMiniTable.create(spark, str(tmp_path / "s1"))
+    t1.append(generate_sequences(spark, 3000), target_file_rows=500)
+    t2 = IceMiniTable.create(spark, str(tmp_path / "s2"))
+    t2.append(generate_sequences(spark, 3000), target_file_rows=500)
+    # skew: every insert from ONE heavy source, all in one partition
+    src = generate_merge_batch(spark, 3000, insert_rows=300).withColumn(
+        "source", F.lit("heavy-source")
+    ).coalesce(1)
+
+    merge_into(t1, src)
+    merge_into(t2, src, salt_partitions=8)
+    assert _content_hash(t1) == _content_hash(t2)
+    assert t2.scan().count() == 3300
