@@ -111,6 +111,11 @@ class AnnIvfIndex:
     ) -> "AnnIvfIndex":
         root = os.path.abspath(root)
         data_dir = os.path.join(root, "data")
+        # bounded driver-side training sample via limit(): scale-safe
+        # (short-circuits the scan) but partition-biased on pre-sorted
+        # inputs — acceptable for a coarse quantizer, where sample bias
+        # costs recall, never correctness (probes re-rank exactly and
+        # tests pin recall ≥ the random-codebook baseline)
         sample = df.select(vec_col).limit(sample_rows).toPandas()
         cents = train_kmeans(
             np.asarray(sample[vec_col].tolist(), dtype=np.float64),

@@ -599,6 +599,48 @@ class IceMiniTable:
         parity checks under the token-array-equality invariant."""
         return self.scan(version).orderBy("doc_id")
 
+    def incremental_scan(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED in snapshots (from_version, to_version] — the
+        Iceberg incremental-append read a training pipeline uses to pick
+        up new sequences without rescanning the table.
+
+        Defined only over append-shaped ranges (append / merge-insert /
+        stream-append); a rewrite (compact/cluster/rewrite-sorted) or a
+        row-removing merge in the range makes "new rows" ambiguous
+        (files change without row identity), so — matching Iceberg's
+        IncrementalAppendScan — such ranges raise ValueError.
+
+        Implementation is metadata-only: new files = live(to) − live(from)
+        (manifest set difference), then ONE pruned parquet scan of just
+        those files.
+        """
+        to_version = (
+            to_version if to_version is not None else self.current_version()
+        )
+        if not 0 < from_version <= to_version:
+            raise ValueError(
+                f"invalid incremental range ({from_version}, {to_version}]"
+            )
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            if int(snap.summary.get("removed_files", 0)) > 0:
+                raise ValueError(
+                    f"snapshot v{v} ({snap.operation}) removed files: "
+                    "incremental scan is append-only (Iceberg "
+                    "IncrementalAppendScan semantics) — read the ranges "
+                    "on either side of the rewrite instead"
+                )
+        base_paths = self.live_paths(from_version)
+        new_entries = [
+            e for e in self.live_entries(to_version) if e.path not in base_paths
+        ]
+        if not new_entries:
+            return self.spark.createDataFrame([], SEQUENCES_SCHEMA)
+        paths = [self._abs(e.path) for e in new_entries]
+        return self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+
     # ------------------------------------------------------------------- GC
 
     def expire_snapshots(

@@ -399,3 +399,33 @@ def test_merge_salted_source_equals_unsalted(spark, tmp_path):
     merge_into(t2, src, salt_partitions=8)
     assert _content_hash(t1) == _content_hash(t2)
     assert t2.scan().count() == 3300
+
+
+def test_incremental_scan_append_ranges(spark, tmp_path):
+    """Iceberg IncrementalAppendScan semantics: rows added in
+    (from, to] from manifest set-difference only; ranges crossing a
+    file-removing snapshot raise."""
+    t = IceMiniTable.create(spark, str(tmp_path / "inc"))
+    v0 = t.current_version()
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+    v1 = t.current_version()
+    t.append(generate_sequences(spark, 500, start_id=10_000), target_file_rows=250)
+    v2 = t.current_version()
+
+    inc = t.incremental_scan(v1)
+    assert inc.count() == 500
+    batch_b = generate_sequences(spark, 500, start_id=10_000).select("doc_id")
+    assert inc.join(batch_b, "doc_id", "left_semi").count() == 500  # exactly B
+    assert t.incremental_scan(v0).count() == 1500
+    assert t.incremental_scan(v1, v1).count() == 0
+
+    # pure-insert merge is append-shaped -> still readable incrementally
+    merge_into(t, generate_sequences(spark, 200, start_id=50_000))
+    assert t.incremental_scan(v2).count() == 200
+
+    # a rewrite removes files -> ranges crossing it must raise
+    compact_table(t, target_bytes=8 * 1024 * 1024)
+    with pytest.raises(ValueError, match="append-only"):
+        t.incremental_scan(v1)
+    with pytest.raises(ValueError):
+        t.incremental_scan(0)
