@@ -629,6 +629,57 @@ def q_maintain_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iceberg-style incremental append read in the correctness gate:
+    # append batch A, record the version, append batch B, then a
+    # pure-insert MERGE (append-shaped), and incremental_scan(v_A) must
+    # return EXACTLY batch B plus the merged inserts — the read a
+    # training pipeline uses to pick up new sequences without
+    # rescanning the table. Metadata-only file diff + one pruned scan;
+    # tok_sum certifies the token arrays (token-array-equality
+    # invariant, summed).
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    batch_a = _mk(
+        d.where(F.col("doc_id") % 2 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 4931) % 389 + 1,
+        23,
+        F.col("source"),
+    )
+    batch_b = _mk(
+        d.where(F.col("doc_id") % 2 == 1),
+        F.col("doc_id"),
+        (F.col("doc_id") * 4931) % 389 + 1,
+        23,
+        F.col("source"),
+    )
+    inserts = _mk(
+        d.where(F.col("doc_id") < 40),
+        F.col("doc_id") + 2_000_000,
+        F.col("doc_id") % 89 + 1,
+        43,
+        F.lit("new"),
+    )
+    root = _seq_table_tmpdir("dlq-incscan-q-")
+    t = IceMiniTable.create(spark, root)
+    file_rows = max(1, d.count() // 8)
+    t.append(batch_a, target_file_rows=file_rows)
+    v_a = t.current_version()
+    t.append(batch_b, target_file_rows=file_rows)
+    merge_into(t, inserts)  # no matching keys -> append-shaped commit
+    return t.incremental_scan(v_a).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN through the REAL index path in the correctness gate: a
     # spherical-k-means codebook (trained on a bounded sample), the
@@ -714,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "merge_upsert": q_merge_upsert,
         "maintain_rewrite": q_maintain_rewrite,
+        "incremental_scan": q_incremental_scan,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
     }
@@ -1163,6 +1215,23 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt
+        """,
+        "incremental_scan": """
+            WITH added AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 4931) % 389 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 23 AS mult
+              FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT CAST(doc_id + 2000000 AS VARCHAR),
+                     doc_id % 89 + 1, 'new', doc_id + 2000000, 43
+              FROM documents WHERE doc_id < 40
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM added
         """,
         "ivf_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
