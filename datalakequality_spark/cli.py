@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
                    help="rows per independently-committed rewrite shard "
                         "(default 64x target-rows; crash at shard k "
                         "resumes at k)")
+    p.add_argument("--max-concurrent", type=int, default=4,
+                   help="shards in flight at once (Iceberg's "
+                        "max-concurrent-file-group-rewrites); 1 = "
+                        "strictly serial")
 
     p = sub.add_parser("compact", help="bin-packing compaction only")
     _add_common(p)
@@ -95,6 +99,9 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
                    help="affected files per commit batch (partial "
                         "progress on giant merges; crash at batch k "
                         "resumes at k)")
+    p.add_argument("--max-concurrent", type=int, default=4,
+                   help="commit batches in flight at once; 1 = "
+                        "strictly serial")
 
     p = sub.add_parser("expire", help="snapshot expiration + reachability GC")
     _add_common(p)
@@ -118,6 +125,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             job_id=args.job_id,
             quality_gate=args.gate,
             max_shard_rows=args.max_shard_rows,
+            max_concurrent_shards=args.max_concurrent,
         )
     elif args.cmd == "compact":
         from .maintenance.compaction import compact_table
@@ -150,6 +158,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             salt_partitions=args.salt_partitions,
             job_id=args.job_id,
             max_batch_files=args.max_batch_files,
+            max_concurrent_batches=args.max_concurrent,
         )
     elif args.cmd == "expire":
         out = table.expire_snapshots(keep_last=args.keep_last)

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.spacecurves import with_cluster_bucket, with_cluster_key
 from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
-from .lineage import JobLog, commit_landed
+from .lineage import JobLog, commit_landed, run_tasks
 
 
 def _cluster_and_bucket(
@@ -138,33 +138,26 @@ def _run_shards(
     method: str,
     quality_gate: bool,
     gate_thresholds: dict[str, Any] | None,
+    max_concurrent: int = 1,
 ) -> dict[str, Any]:
     """Execute rewrite shards: per-shard gate → cluster+sort → fanout
     write → intent → tagged commit → done. Idempotent on re-run with
-    the same job_id."""
+    the same job_id; ``max_concurrent`` > 1 overlaps independent
+    shards' job barriers (run_tasks)."""
     from .compaction import gate_batch
 
-    result = {
-        "job_id": job_id,
-        "tasks": 0,
-        "skipped": 0,
-        "new_files": 0,
-        "quarantined_files": 0,
-    }
-    for task in tasks:
+    def _exec(task: dict[str, Any]) -> dict[str, int]:
         tid = task["task_id"]
         inputs = task["input_files"]
         if log.is_done(tid):
-            result["skipped"] += 1
-            continue
+            return {"skipped": 1}
         intent = log.intent(tid)
         if intent is not None and (
             commit_landed(table, job_id, tid)
             or not (set(inputs) & table.live_paths())
         ):
             log.mark_done(tid, intent)
-            result["skipped"] += 1
-            continue
+            return {"skipped": 1}
 
         by_path = {e.path: e for e in table.live_entries()}
         live_inputs = [by_path[p] for p in inputs if p in by_path]
@@ -203,9 +196,22 @@ def _run_shards(
             summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
         )
         log.mark_done(tid, record)
-        result["tasks"] += 1
-        result["new_files"] += len(new_entries)
-        result["quarantined_files"] += len(quarantine)
+        return {
+            "tasks": 1,
+            "new_files": len(new_entries),
+            "quarantined_files": len(quarantine),
+        }
+
+    result = {
+        "job_id": job_id,
+        "tasks": 0,
+        "skipped": 0,
+        "new_files": 0,
+        "quarantined_files": 0,
+    }
+    for out in run_tasks(tasks, _exec, max_concurrent):
+        for k, v in out.items():
+            result[k] += v
     return result
 
 
@@ -217,6 +223,7 @@ def rewrite_sorted(
     quality_gate: bool = False,
     gate_thresholds: dict[str, Any] | None = None,
     max_shard_rows: int | None = None,
+    max_concurrent_shards: int = 4,
 ) -> dict[str, Any]:
     """Fused bin-packing compaction + space-curve clustering — ONE data
     pass over the live snapshot (the same shape as Iceberg's
@@ -240,6 +247,12 @@ def rewrite_sorted(
     ≤ ``max_shard_rows`` rows (default 64 output files' worth); each
     shard commits independently, so a crash at shard k of n redoes only
     shard k — not the table (tests/test_maintenance.py crash-resume).
+
+    ``max_concurrent_shards`` shards run at once (Iceberg
+    RewriteDataFiles' max-concurrent-file-group-rewrites): each shard's
+    serial barriers — quantile sample job, write tail, commit — overlap
+    other shards' compute instead of idling the cluster. Set 1 for
+    strictly ordered execution (deterministic crash-ordering tests).
     """
     job_id = job_id or f"rewrite-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
@@ -253,7 +266,7 @@ def rewrite_sorted(
         log.write_plan(tasks)
     return _run_shards(
         table, log, job_id, tasks, "rewrite-sorted", method,
-        quality_gate, gate_thresholds,
+        quality_gate, gate_thresholds, max_concurrent_shards,
     )
 
 
@@ -263,9 +276,11 @@ def cluster_table(
     target_rows_per_file: int = 250_000,
     job_id: str | None = None,
     max_shard_rows: int | None = None,
+    max_concurrent_shards: int = 4,
 ) -> dict[str, Any]:
     """Space-curve clustering rewrite (no gate) — same sharded,
-    per-shard-resumable executor as ``rewrite_sorted``."""
+    per-shard-resumable, concurrency-bounded executor as
+    ``rewrite_sorted``."""
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
     max_shard_rows = max_shard_rows or 64 * target_rows_per_file
@@ -277,7 +292,8 @@ def cluster_table(
         )
         log.write_plan(tasks)
     out = _run_shards(
-        table, log, job_id, tasks, "cluster", method, False, None
+        table, log, job_id, tasks, "cluster", method, False, None,
+        max_concurrent_shards,
     )
     out.pop("quarantined_files", None)
     return out

@@ -81,6 +81,45 @@ class JobLog:
         return out
 
 
+def run_tasks(
+    tasks: list[dict[str, Any]],
+    exec_one,
+    max_concurrent: int = 1,
+) -> list[Any]:
+    """Execute lineage tasks via ``exec_one(task)`` — sequentially when
+    ``max_concurrent <= 1``, else from a bounded thread pool (the shape
+    of Iceberg RewriteDataFiles' max-concurrent-file-group-rewrites).
+
+    Tasks are independent by construction (disjoint input-file groups,
+    per-task lineage records, optimistic snapshot commits that retry on
+    lost races), so concurrent submission only overlaps their Spark
+    jobs' barriers — per-shard sample pass, write tail, commit — which
+    otherwise leave the cluster idle between serial shards. Results come
+    back in task order; on failure every in-flight task settles first
+    (landed commits stand — resume skips them) and the first error, in
+    task order, propagates.
+    """
+    if max_concurrent <= 1 or len(tasks) <= 1:
+        return [exec_one(t) for t in tasks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_concurrent, len(tasks))
+    ) as pool:
+        futures = [pool.submit(exec_one, t) for t in tasks]
+        results: list[Any] = []
+        first_err: BaseException | None = None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def commit_landed(table, job_id: str, task_id: str) -> bool:
     """True if a retained snapshot was committed by this job/task —
     every maintenance commit tags its snapshot summary with

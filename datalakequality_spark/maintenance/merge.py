@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
-from .lineage import JobLog, commit_landed
+from .lineage import JobLog, commit_landed, run_tasks
 
 
 def broadcast_threshold_bytes(spark: SparkSession) -> int:
@@ -82,6 +82,7 @@ def merge_into(
     salt_partitions: int | None = None,
     job_id: str | None = None,
     max_batch_files: int | None = 256,
+    max_concurrent_batches: int = 4,
 ) -> dict[str, Any]:
     spark = table.spark
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
@@ -143,20 +144,17 @@ def merge_into(
         "tokens": 0,
         "matched_files": sum(len(t["input_files"]) for t in tasks),
     }
-    snap = None
-    for task in tasks:
+    def _exec(task: dict[str, Any]) -> dict[str, Any] | None:
         tid = task["task_id"]
         inputs: list[str] = task["input_files"]
         if log.is_done(tid):
-            result["skipped"] += 1
-            continue
+            return None
         if log.intent(tid) is not None and (
             commit_landed(table, job_id, tid)
             or (inputs and not (set(inputs) & table.live_paths()))
         ):
             log.mark_done(tid, log.intent(tid))
-            result["skipped"] += 1
-            continue
+            return None
 
         rewritten = _task_output(
             spark, table, task, source, src_keys, key, keys_dir
@@ -172,7 +170,7 @@ def merge_into(
             "tokens": sum(e.token_count for e in new_entries),
         }
         log.mark_intent(tid, record)
-        snap = table.commit(
+        table.commit(
             "merge",
             added=new_entries,
             removed_paths=inputs,
@@ -180,16 +178,24 @@ def merge_into(
             summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
         )
         log.mark_done(tid, record)
+        return record
+
+    # batches + the trailing insert task are mutually independent (the
+    # key→batch side-table is pinned at plan time), so they run from a
+    # bounded pool — each batch's write tail and commit overlap other
+    # batches' joins instead of idling the cluster (lineage.run_tasks)
+    for record in run_tasks(tasks, _exec, max_concurrent_batches):
+        if record is None:
+            result["skipped"] += 1
+            continue
         result["tasks"] += 1
-        result["input_files"].extend(inputs)
+        result["input_files"].extend(record["input_files"])
         result["output_files"].extend(record["output_files"])
         result["rows"] += record["rows"]
         result["tokens"] += record["tokens"]
 
     source.unpersist()
-    result["snapshot_id"] = (
-        snap.snapshot_id if snap is not None else table.current_version()
-    )
+    result["snapshot_id"] = table.current_version()
     return result
 
 

@@ -275,8 +275,13 @@ def test_rewrite_shards_crash_resume(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
     with pytest.raises(RuntimeError):
-        # 1500-row shards over 12x500-row files -> 4 shards
-        rewrite_sorted(t, target_rows_per_file=1500, max_shard_rows=1500, job_id=job)
+        # 1500-row shards over 12x500-row files -> 4 shards; concurrency
+        # pinned to 1 so "crash at the 3rd mark_done" is a deterministic
+        # prefix (the resumed runs below exercise the default pool)
+        rewrite_sorted(
+            t, target_rows_per_file=1500, max_shard_rows=1500, job_id=job,
+            max_concurrent_shards=1,
+        )
     # shard 3's commit landed (crash was post-commit, pre-ack)
     v_after_crash = t.current_version()
 
@@ -335,7 +340,11 @@ def test_merge_batched_crash_resume(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(JobLog, "mark_done", dying_mark_done)
     with pytest.raises(RuntimeError):
-        merge_into(t, src, max_batch_files=3, job_id=job)
+        # concurrency pinned to 1: "crash at batch 2" must be a
+        # deterministic prefix (the resume below uses the default pool)
+        merge_into(
+            t, src, max_batch_files=3, job_id=job, max_concurrent_batches=1
+        )
 
     monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
     r = merge_into(t, src, max_batch_files=3, job_id=job)
@@ -399,6 +408,28 @@ def test_merge_salted_source_equals_unsalted(spark, tmp_path):
     merge_into(t2, src, salt_partitions=8)
     assert _content_hash(t1) == _content_hash(t2)
     assert t2.scan().count() == 3300
+
+
+def test_concurrent_shards_equal_serial(spark, tmp_path):
+    """max_concurrent_shards > 1 (the default, Iceberg's
+    max-concurrent-file-group-rewrites shape) commits the same shards —
+    content, row count, snapshot count — as strictly serial execution;
+    commits land via optimistic retry under in-process contention."""
+    roots = {}
+    for name, conc in [("ser", 1), ("conc", 4)]:
+        t = IceMiniTable.create(spark, str(tmp_path / name))
+        t.append(generate_sequences(spark, 6000), target_file_rows=500)
+        v0 = t.current_version()
+        r = rewrite_sorted(
+            t, target_rows_per_file=1500, max_shard_rows=1500,
+            max_concurrent_shards=conc,
+        )
+        assert r["tasks"] == 4 and r["skipped"] == 0
+        # one independently-resumable commit per shard, regardless of pool
+        assert t.current_version() == v0 + 4
+        roots[name] = t
+    assert _content_hash(roots["ser"]) == _content_hash(roots["conc"])
+    assert roots["conc"].scan().count() == 6000
 
 
 def test_incremental_scan_append_ranges(spark, tmp_path):
