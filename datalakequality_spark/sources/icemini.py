@@ -641,6 +641,57 @@ class IceMiniTable:
         paths = [self._abs(e.path) for e in new_entries]
         return self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
 
+    def rollback_to(self, version: int) -> Snapshot:
+        """Roll the table back to the state of snapshot ``version`` —
+        Iceberg's ``rollback_to_snapshot``: a NEW snapshot whose live
+        file set is the old one, so history is preserved (the bad
+        merge/rewrite stays inspectable and time-travelable) and the
+        operation is itself undoable. Metadata-only: manifests are
+        immutable and shared by name; no data file moves.
+
+        The rolled-back-to files must still exist — snapshot expiration
+        may have GC'd them — so the target must be a retained snapshot.
+        """
+        current = self.current_version()
+        if not 0 < version <= current:
+            raise ValueError(f"cannot roll back to v{version} (current v{current})")
+        target = self.snapshot(version)  # raises if expired/missing
+        target_paths = self.live_paths(version)
+        # O(#files) driver-side stat — the same cost class as expire's
+        # reachability walk, and rollback is a rare operator action
+        missing = [
+            p for p in sorted(target_paths) if not os.path.exists(self._abs(p))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback target v{version} references GC'd data files: "
+                f"{missing[:5]}"
+            )
+        base = current
+        while True:
+            parent = self.snapshot(base)
+            parent_paths = self.live_paths(base)
+            snap = Snapshot(
+                snapshot_id=base + 1,
+                parent_snapshot_id=parent.snapshot_id,
+                operation="rollback",
+                manifests=list(target.manifests),
+                summary={
+                    "added_files": len(target_paths - parent_paths),
+                    "removed_files": len(parent_paths - target_paths),
+                    "total_files": target.summary.get("total_files", len(target_paths)),
+                    "total_rows": target.summary.get("total_rows", 0),
+                    "total_tokens": target.summary.get("total_tokens", 0),
+                    "rollback_of": parent.snapshot_id,
+                    "rollback_to": version,
+                },
+                quarantine=list(target.quarantine),
+                timestamp_ms=int(time.time() * 1000),
+            )
+            if self._try_claim_version(base + 1, snap):
+                return snap
+            base = self.current_version()
+
     # ------------------------------------------------------------------- GC
 
     def expire_snapshots(

@@ -432,6 +432,40 @@ def test_concurrent_shards_equal_serial(spark, tmp_path):
     assert roots["conc"].scan().count() == 6000
 
 
+def test_rollback_restores_content_and_survives_gc(spark, tmp_path):
+    """Iceberg rollback_to_snapshot: a bad merge is undone by a NEW
+    metadata-only snapshot; content equals the pre-merge state, history
+    stays time-travelable, reachability GC keeps the restored files
+    live, and rolling back to an expired snapshot raises."""
+    t = IceMiniTable.create(spark, str(tmp_path / "rb"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=500)
+    v_good = t.current_version()
+    h_good = _content_hash(t)
+
+    bad = generate_merge_batch(spark, 2000, insert_rows=200)
+    merge_into(t, bad)
+    v_bad = t.current_version()
+    assert _content_hash(t) != h_good
+
+    snap = t.rollback_to(v_good)
+    assert snap.operation == "rollback"
+    assert snap.summary["rollback_to"] == v_good
+    assert _content_hash(t) == h_good
+    assert t.scan().count() == 2000
+    # history preserved: the bad state is still time-travelable...
+    assert t.scan(v_bad).count() == 2200
+    # ...and a rollback is itself undoable (roll forward)
+    t.rollback_to(v_bad)
+    assert t.scan().count() == 2200
+    t.rollback_to(v_good)
+
+    # GC keeps everything the rollback snapshot references
+    t.expire_snapshots(keep_last=1)
+    assert _content_hash(t) == h_good
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.rollback_to(v_bad)  # expired → metadata or data gone
+
+
 def test_incremental_scan_append_ranges(spark, tmp_path):
     """Iceberg IncrementalAppendScan semantics: rows added in
     (from, to] from manifest set-difference only; ranges crossing a
