@@ -148,9 +148,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     elif args.cmd == "merge":
         from .maintenance.merge import merge_into
 
-        from .sources.icemini import SEQUENCES_SCHEMA
-
-        source = spark.read.schema(SEQUENCES_SCHEMA).parquet(args.source)
+        source = spark.read.schema(table.schema()).parquet(args.source)
         out = merge_into(
             table,
             source,

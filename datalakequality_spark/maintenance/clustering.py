@@ -52,6 +52,7 @@ def _cluster_and_bucket(
     method: str,
     num_files: int,
     total_rows: int,
+    schema=None,
 ) -> DataFrame:
     """Read ``paths``, add the curve key, and return a DataFrame hash-
     partitioned on a ``__pid`` range-bucket column and sorted by
@@ -62,7 +63,7 @@ def _cluster_and_bucket(
     seeded sample of the three key dims only (pruned scan: token arrays
     are never decoded in the sample pass).
     """
-    df = spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+    df = spark.read.schema(schema or SEQUENCES_SCHEMA).parquet(*paths)
     bounds: list[int] = []
     if num_files > 1:
         # ~500 sampled keys per bucket bounds the bucket-size error well
@@ -174,6 +175,7 @@ def _run_shards(
                 task.get("method", method),
                 task["num_files"],
                 sum(e.rows for e in live_inputs),
+                schema=table.schema(),  # evolved columns survive rewrites
             )
             new_entries = table.write_data_files(clustered, split_col="__pid")
         else:

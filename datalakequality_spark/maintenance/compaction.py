@@ -27,7 +27,7 @@ from typing import Any
 
 from pyspark.sql import functions as F
 
-from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
+from ..sources.icemini import FileEntry, IceMiniTable
 from .lineage import JobLog
 
 
@@ -112,7 +112,7 @@ def rewrite_bins(
         paths = [os.path.join(table.root, e.path) for e in members]
         stage = os.path.join(table.data_dir, f".stage-{prefix}-{b:05d}")
         (
-            spark.read.schema(SEQUENCES_SCHEMA)
+            spark.read.schema(table.schema())  # evolved columns survive
             .parquet(*paths)
             .coalesce(1)
             .write.mode("overwrite")
@@ -159,7 +159,7 @@ def gate_batch(
     # scan only the light columns (doc_id for PII, n_tok for outliers);
     # the tokens array's null counts come from parquet footer stats
     df = (
-        table.spark.read.schema(SEQUENCES_SCHEMA)
+        table.spark.read.schema(table.schema())
         .parquet(*paths)
         .select(
             "doc_id",

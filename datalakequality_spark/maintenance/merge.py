@@ -41,7 +41,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.icemini import FileEntry, IceMiniTable, SEQUENCES_SCHEMA
+from ..sources.icemini import FileEntry, IceMiniTable
 from .lineage import JobLog, commit_landed, run_tasks
 
 
@@ -89,11 +89,13 @@ def merge_into(
     log = JobLog(table.root, job_id)
     keys_dir = os.path.join(log.dir, "matched_keys")
 
-    # last-writer-wins dedup of the source on the merge key; persist —
-    # the source plan is evaluated several times below (key stats,
+    # align the source to the table's (possibly evolved) schema —
+    # evolved nullable columns a producer doesn't send are null-filled;
+    # then last-writer-wins dedup on the merge key; persist — the
+    # source plan is evaluated several times below (key stats,
     # affected-file join, per-batch semi/anti joins) and an expensive
     # upstream plan would otherwise recompute each time
-    source = source.dropDuplicates([key])
+    source = table.align_to_schema(source).dropDuplicates([key])
     if salt_partitions:
         # deterministic salt — xxhash64(key, seed) spreads near-unique
         # keys evenly without breaking run-to-run reproducibility
@@ -230,7 +232,7 @@ def _plan_merge(
     key = src_keys.columns[0]
     cand_abs = [table._abs(e.path) for e in candidates]
     tgt = (
-        spark.read.schema(SEQUENCES_SCHEMA)
+        spark.read.schema(table.schema())
         .parquet(*cand_abs)
         .select(key, F.expr(_FILE_NORM).alias("____file"))
     )
@@ -291,7 +293,7 @@ def _task_output(
     """The rows a merge task writes (None ⇒ nothing to write, commit is
     a pure file-removal/no-op)."""
     kind = task.get("kind", "single")
-    cols = SEQUENCES_SCHEMA.fieldNames()
+    cols = table.schema().fieldNames()
     if kind == "inserts":
         ins = source
         if os.path.isdir(keys_dir):
@@ -301,7 +303,7 @@ def _task_output(
 
     inputs_abs = [table._abs(p) for p in task["input_files"]]
     survivors = (
-        spark.read.schema(SEQUENCES_SCHEMA)
+        spark.read.schema(table.schema())
         .parquet(*inputs_abs)
         .join(src_keys, key, "left_anti")
     )

@@ -98,6 +98,11 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
     quarantine: list[dict[str, Any]] = field(default_factory=list)
     timestamp_ms: int = 0
+    # schema AT this snapshot as [[name, ddl, nullable], ...]; None ⇒
+    # the base SEQUENCES_SCHEMA (pre-evolution snapshots). Tracked per
+    # snapshot so time-travel reads get the historical schema
+    # (Iceberg's schema-id-per-snapshot model, add-column-only here).
+    schema_ddl: list[list] | None = None
 
 
 _VMETA_RE = re.compile(r"v(\d+)\.metadata\.json$")
@@ -174,6 +179,7 @@ class IceMiniTable:
             summary=d.get("summary", {}),
             quarantine=d.get("quarantine", []),
             timestamp_ms=d.get("timestamp_ms", 0),
+            schema_ddl=d.get("schema"),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -182,6 +188,83 @@ class IceMiniTable:
             if os.path.exists(os.path.join(self.meta_dir, f"v{v}.metadata.json")):
                 out.append(self.snapshot(v))
         return out
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        """Table schema at ``version`` (default: current). Pre-evolution
+        snapshots (no tracked schema) are the base SEQUENCES_SCHEMA."""
+        ddl = self.snapshot(version).schema_ddl
+        if not ddl:
+            return SEQUENCES_SCHEMA
+        return T.StructType(
+            [
+                T.StructField(n, T.DataType.fromDDL(t), bool(nullable))
+                for n, t, nullable in ddl
+            ]
+        )
+
+    def add_columns(self, cols: dict[str, str]) -> Snapshot:
+        """Schema evolution, add-only (the Iceberg subset a training
+        pipeline needs — e.g. a quality-score or lineage-tag column):
+        commit a metadata-only ``set-schema`` snapshot whose schema is
+        the parent's plus ``cols`` ({name: Spark DDL type}), appended at
+        the end and always nullable. Existing data files are untouched;
+        reads null-fill the new columns (Spark's by-name parquet
+        resolution under an explicit scan schema), and subsequent
+        appends/merges write them. Renames/drops/type-changes are out of
+        scope — they need Iceberg field-ids to be safe.
+        """
+        for name, ddl in cols.items():
+            T.DataType.fromDDL(ddl)  # validate early, outside the CAS loop
+        base = self.current_version()
+        while True:
+            parent = self.snapshot(base)
+            have = set(self.schema(base).fieldNames())
+            dupes = sorted(set(cols) & have)
+            if dupes:
+                raise ValueError(f"columns already exist: {dupes}")
+            new_schema = [
+                [f.name, f.dataType.simpleString(), f.nullable]
+                for f in self.schema(base).fields
+            ] + [[name, ddl, True] for name, ddl in cols.items()]
+            snap = Snapshot(
+                snapshot_id=base + 1,
+                parent_snapshot_id=parent.snapshot_id,
+                operation="set-schema",
+                manifests=list(parent.manifests),
+                summary={
+                    "added_files": 0,
+                    "removed_files": 0,
+                    "total_files": parent.summary.get("total_files", 0),
+                    "total_rows": parent.summary.get("total_rows", 0),
+                    "total_tokens": parent.summary.get("total_tokens", 0),
+                    "added_columns": sorted(cols),
+                },
+                quarantine=list(parent.quarantine),
+                timestamp_ms=int(time.time() * 1000),
+                schema_ddl=new_schema,
+            )
+            if self._try_claim_version(base + 1, snap):
+                return snap
+            base = self.current_version()
+
+    def align_to_schema(self, df: DataFrame) -> DataFrame:
+        """Project ``df`` onto the current schema for writing: evolved
+        nullable columns missing from the input are null-filled (the
+        file written by an un-evolved producer is still valid), missing
+        base/required columns raise, and every column is cast to the
+        schema type (no-op casts fold away)."""
+        sch = self.schema()
+        have = set(df.columns)
+        base = set(SEQUENCES_SCHEMA.fieldNames())
+        cols = []
+        for f in sch.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name in base or not f.nullable:
+                raise ValueError(f"input is missing required column {f.name!r}")
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
 
     def _read_manifest(self, name: str) -> list[FileEntry]:
         d = json.load(open(os.path.join(self.meta_dir, name)))
@@ -219,6 +302,7 @@ class IceMiniTable:
             "summary": snap.summary,
             "quarantine": snap.quarantine,
             "timestamp_ms": snap.timestamp_ms,
+            "schema": snap.schema_ddl,
         }
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -297,6 +381,7 @@ class IceMiniTable:
                 },
                 quarantine=quarantine or [],
                 timestamp_ms=int(time.time() * 1000),
+                schema_ddl=parent.schema_ddl,  # data commits keep the schema
             )
             if self._try_claim_version(base + 1, snap):
                 return snap
@@ -313,7 +398,7 @@ class IceMiniTable:
         input_file_name() — never reads data on the driver."""
         if not abs_paths:
             return []
-        df = self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*abs_paths)
+        df = self.spark.read.schema(self.schema()).parquet(*abs_paths)
         rows = (
             df.groupBy(F.input_file_name().alias("file"))
             .agg(
@@ -388,7 +473,7 @@ class IceMiniTable:
         prefix = prefix or uuid.uuid4().hex
         data_dir = self.data_dir
         root = self.root
-        data_names = list(SEQUENCES_SCHEMA.fieldNames())
+        data_names = list(self.schema().fieldNames())
         stats_schema = (
             "path string, rows long, token_count long, sum_sq_n_tok long, "
             "size_bytes long, "
@@ -547,6 +632,7 @@ class IceMiniTable:
         ]
 
     def append(self, df: DataFrame, target_file_rows: int | None = None) -> Snapshot:
+        df = self.align_to_schema(df)
         if target_file_rows:
             n = df.count()
             df = df.repartition(max(1, -(-n // target_file_rows)))
@@ -589,10 +675,11 @@ class IceMiniTable:
         entries = self.prune_entries(
             self.live_entries(version), min_n_tok, max_n_tok, sources
         )
+        sch = self.schema(version)  # time travel reads the historical schema
         if not entries:
-            return self.spark.createDataFrame([], SEQUENCES_SCHEMA)
+            return self.spark.createDataFrame([], sch)
         paths = [self._abs(e.path) for e in entries]
-        return self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+        return self.spark.read.schema(sch).parquet(*paths)
 
     def canonical_scan(self, version: int | None = None) -> DataFrame:
         """Scan in canonical order (doc_id) — the basis of byte-for-byte
@@ -636,10 +723,11 @@ class IceMiniTable:
         new_entries = [
             e for e in self.live_entries(to_version) if e.path not in base_paths
         ]
+        sch = self.schema(to_version)
         if not new_entries:
-            return self.spark.createDataFrame([], SEQUENCES_SCHEMA)
+            return self.spark.createDataFrame([], sch)
         paths = [self._abs(e.path) for e in new_entries]
-        return self.spark.read.schema(SEQUENCES_SCHEMA).parquet(*paths)
+        return self.spark.read.schema(sch).parquet(*paths)
 
     def rollback_to(self, version: int) -> Snapshot:
         """Roll the table back to the state of snapshot ``version`` —
@@ -687,6 +775,7 @@ class IceMiniTable:
                 },
                 quarantine=list(target.quarantine),
                 timestamp_ms=int(time.time() * 1000),
+                schema_ddl=target.schema_ddl,  # restore the schema too
             )
             if self._try_claim_version(base + 1, snap):
                 return snap

@@ -466,6 +466,53 @@ def test_rollback_restores_content_and_survives_gc(spark, tmp_path):
         t.rollback_to(v_bad)  # expired → metadata or data gone
 
 
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column evolution: metadata-only set-schema snapshot;
+    old files read with null backfill; time travel sees the historical
+    schema; compaction/rewrite/merge all carry the evolved column; and
+    un-evolved producers (no new column) still append/merge (null-fill)."""
+    t = IceMiniTable.create(spark, str(tmp_path / "ev"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    v_pre = t.current_version()
+
+    t.add_columns({"quality": "double"})
+    assert t.schema().fieldNames() == ["doc_id", "tokens", "n_tok", "source", "quality"]
+    assert t.scan(v_pre).columns == ["doc_id", "tokens", "n_tok", "source"]  # time travel
+    assert t.scan().where(F.col("quality").isNotNull()).count() == 0  # null backfill
+    with pytest.raises(ValueError, match="already exist"):
+        t.add_columns({"quality": "float"})
+
+    # evolved producer appends WITH the column; un-evolved appends without
+    batch = generate_sequences(spark, 500, start_id=50_000).withColumn(
+        "quality", (F.col("n_tok") % 100).cast("double") / 100.0
+    )
+    expected_q = batch.agg(F.sum("quality")).collect()[0][0]
+    t.append(batch, target_file_rows=250)
+    t.append(generate_sequences(spark, 100, start_id=90_000), target_file_rows=None)
+    assert t.scan().count() == 2600
+    q_sum = t.scan().agg(F.sum("quality")).collect()[0][0]
+    assert q_sum == pytest.approx(expected_q)
+
+    # maintenance must not drop the evolved column's values
+    compact_table(t, target_bytes=8 * 1024 * 1024)
+    rewrite_sorted(t, target_rows_per_file=1000)
+    assert t.scan().agg(F.sum("quality")).collect()[0][0] == pytest.approx(q_sum)
+
+    # merge: evolved source updates the column; survivors keep theirs
+    upd_ids = [r["doc_id"] for r in batch.select("doc_id").head(100)]
+    upd = (
+        t.scan().where(F.col("doc_id").isin(upd_ids))
+        .withColumn("quality", F.lit(1.0))
+    )
+    merge_into(t, upd)
+    assert t.scan().where("quality = 1.0").count() == 100
+    assert t.scan().count() == 2600
+
+    # required base column missing -> loud failure
+    with pytest.raises(ValueError, match="required column"):
+        t.append(generate_sequences(spark, 10).drop("tokens"))
+
+
 def test_incremental_scan_append_ranges(spark, tmp_path):
     """Iceberg IncrementalAppendScan semantics: rows added in
     (from, to] from manifest set-difference only; ranges crossing a
