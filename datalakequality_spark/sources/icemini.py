@@ -247,6 +247,50 @@ class IceMiniTable:
                 return snap
             base = self.current_version()
 
+    def drop_columns(self, names: list[str]) -> Snapshot:
+        """Schema evolution, drop — EVOLVED columns only (the base
+        sequence columns are load-bearing for stats, clustering keys and
+        the quality gate). Metadata-only: data files keep the column's
+        bytes, but every read's explicit schema omits it (Spark's
+        by-name parquet resolution), and the next rewrite physically
+        sheds it. Time travel before the drop still reads the column."""
+        base_names = set(SEQUENCES_SCHEMA.fieldNames())
+        bad = sorted(set(names) & base_names)
+        if bad:
+            raise ValueError(f"cannot drop base sequence columns: {bad}")
+        base = self.current_version()
+        while True:
+            parent = self.snapshot(base)
+            have = set(self.schema(base).fieldNames())
+            missing = sorted(set(names) - have)
+            if missing:
+                raise ValueError(f"no such columns: {missing}")
+            new_schema = [
+                [f.name, f.dataType.simpleString(), f.nullable]
+                for f in self.schema(base).fields
+                if f.name not in set(names)
+            ]
+            snap = Snapshot(
+                snapshot_id=base + 1,
+                parent_snapshot_id=parent.snapshot_id,
+                operation="set-schema",
+                manifests=list(parent.manifests),
+                summary={
+                    "added_files": 0,
+                    "removed_files": 0,
+                    "total_files": parent.summary.get("total_files", 0),
+                    "total_rows": parent.summary.get("total_rows", 0),
+                    "total_tokens": parent.summary.get("total_tokens", 0),
+                    "dropped_columns": sorted(names),
+                },
+                quarantine=list(parent.quarantine),
+                timestamp_ms=int(time.time() * 1000),
+                schema_ddl=new_schema,
+            )
+            if self._try_claim_version(base + 1, snap):
+                return snap
+            base = self.current_version()
+
     def align_to_schema(self, df: DataFrame) -> DataFrame:
         """Project ``df`` onto the current schema for writing: evolved
         nullable columns missing from the input are null-filled (the

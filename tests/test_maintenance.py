@@ -512,6 +512,21 @@ def test_schema_evolution_add_column(spark, tmp_path):
     with pytest.raises(ValueError, match="required column"):
         t.append(generate_sequences(spark, 10).drop("tokens"))
 
+    # drop: evolved columns only, metadata-only, time travel unaffected
+    v_with_q = t.current_version()
+    with pytest.raises(ValueError, match="base sequence"):
+        t.drop_columns(["n_tok"])
+    t.drop_columns(["quality"])
+    assert t.scan().columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert "quality" in t.scan(v_with_q).columns  # historical schema
+    # a stale producer still sending the column is projected onto the
+    # current schema; the next rewrite physically sheds the bytes
+    t.append(batch.limit(10))
+    assert t.scan().count() == 2610
+    rewrite_sorted(t, target_rows_per_file=1000)
+    assert t.scan().columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert t.scan().count() == 2610
+
 
 def test_incremental_scan_append_ranges(spark, tmp_path):
     """Iceberg IncrementalAppendScan semantics: rows added in
