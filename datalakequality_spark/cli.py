@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     _add_common(p)
     p.add_argument("--keep-last", type=int, default=3)
 
+    p = sub.add_parser("rollback", help="metadata-only rollback to an "
+                       "earlier snapshot (history preserved)")
+    _add_common(p)
+    p.add_argument("--to-version", type=int, required=True)
+
     p = sub.add_parser("gate", help="quality gate only: report (not "
                        "quarantine) per-file contract/PII/outlier verdicts")
     _add_common(p)
@@ -160,6 +165,14 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
         )
     elif args.cmd == "expire":
         out = table.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "rollback":
+        snap = table.rollback_to(args.to_version)
+        out = {
+            "snapshot_id": snap.snapshot_id,
+            "rolled_back_to": args.to_version,
+            "total_rows": snap.summary.get("total_rows"),
+            "total_files": snap.summary.get("total_files"),
+        }
     elif args.cmd == "gate":
         from .maintenance.compaction import gate_batch
 

@@ -242,9 +242,16 @@ def test_cli_rewrite_merge_expire(spark, table, tmp_path, monkeypatch, capsys):
     src_path = str(tmp_path / "mergesrc")
     batch = generate_merge_batch(spark, N, insert_rows=N // 10)
     batch.write.parquet(src_path)
+    v_pre_merge = table.current_version()
     out = cli.main(["merge", "--table", table.root, "--source", src_path])
     assert out["rows"] > 0 and out["matched_files"] > 0
     assert table.scan().count() == N + N // 10
+
+    # operational undo: roll the merge back, content returns to h0
+    out = cli.main(["rollback", "--table", table.root,
+                    "--to-version", str(v_pre_merge)])
+    assert out["rolled_back_to"] == v_pre_merge
+    assert _content_hash(table) == h0
 
     out = cli.main(["expire", "--table", table.root, "--keep-last", "1"])
     assert out["deleted_data_files"]
