@@ -773,6 +773,59 @@ class IceMiniTable:
         paths = [self._abs(e.path) for e in new_entries]
         return self.spark.read.schema(sch).parquet(*paths)
 
+    def snapshots_df(self) -> DataFrame:
+        """Iceberg's ``snapshots`` metadata table as a DataFrame: one
+        row per retained snapshot (id, parent, operation, totals,
+        schema'd summary as a map). Driver-side metadata → DataFrame;
+        O(#retained snapshots), the same cost class as ``snapshots()``."""
+        rows = [
+            {
+                "snapshot_id": s.snapshot_id,
+                "parent_snapshot_id": s.parent_snapshot_id,
+                "operation": s.operation,
+                "timestamp_ms": s.timestamp_ms,
+                "total_files": int(s.summary.get("total_files", 0)),
+                "total_rows": int(s.summary.get("total_rows", 0)),
+                "total_tokens": int(s.summary.get("total_tokens", 0)),
+                "summary": {k: str(v) for k, v in s.summary.items()},
+            }
+            for s in self.snapshots()
+        ]
+        schema = (
+            "snapshot_id long, parent_snapshot_id long, operation string, "
+            "timestamp_ms long, total_files long, total_rows long, "
+            "total_tokens long, summary map<string,string>"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg's ``files`` metadata table: one row per live data
+        file with its manifest stats (rows, tokens, size, per-file
+        min/max of the pruning columns) — what an operator inspects to
+        decide whether compaction or clustering is due, without touching
+        any data file."""
+        rows = [
+            {
+                "path": e.path,
+                "rows": e.rows,
+                "token_count": e.token_count,
+                "size_bytes": e.size_bytes,
+                "min_n_tok": e.min_n_tok,
+                "max_n_tok": e.max_n_tok,
+                "min_source": e.min_source,
+                "max_source": e.max_source,
+                "min_doc_id": e.min_doc_id,
+                "max_doc_id": e.max_doc_id,
+            }
+            for e in self.live_entries(version)
+        ]
+        schema = (
+            "path string, rows long, token_count long, size_bytes long, "
+            "min_n_tok int, max_n_tok int, min_source string, "
+            "max_source string, min_doc_id string, max_doc_id string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def rollback_to(self, version: int) -> Snapshot:
         """Roll the table back to the state of snapshot ``version`` —
         Iceberg's ``rollback_to_snapshot``: a NEW snapshot whose live

@@ -439,6 +439,33 @@ def test_concurrent_shards_equal_serial(spark, tmp_path):
     assert roots["conc"].scan().count() == 6000
 
 
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style snapshots/files metadata tables: manifest stats as
+    DataFrames, consistent with the table's own accounting, with time
+    travel on files_df."""
+    t = IceMiniTable.create(spark, str(tmp_path / "meta"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=500)
+    v1 = t.current_version()
+    merge_into(t, generate_merge_batch(spark, 2000, insert_rows=200))
+
+    snaps = t.snapshots_df()
+    ops = [r["operation"] for r in snaps.orderBy("snapshot_id").collect()]
+    assert ops[0] == "create" and "append" in ops and "merge" in ops
+
+    files = t.files_df()
+    agg = files.agg(
+        F.sum("rows").alias("r"), F.sum("token_count").alias("tk"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert agg["r"] == 2200
+    assert agg["n"] == len(t.live_entries())
+    assert agg["tk"] == t.snapshot().summary["total_tokens"]
+    # time travel: pre-merge file listing
+    assert t.files_df(v1).agg(F.sum("rows")).collect()[0][0] == 2000
+    # stats are real per-file bounds, usable for pruning decisions
+    assert files.where("min_n_tok > max_n_tok").count() == 0
+
+
 def test_rollback_restores_content_and_survives_gc(spark, tmp_path):
     """Iceberg rollback_to_snapshot: a bad merge is undone by a NEW
     metadata-only snapshot; content equals the pre-merge state, history
