@@ -11,7 +11,9 @@ scale:
   operators (dedup, similarity search, text analysis, context chunking,
   sessionization, as-of join, multimodal plumbing).
 - ``sources/``     — the "IceMini" table format (Parquet data files + JSON
-  manifests/snapshots + atomic version pointer), the IVF ANN index
+  manifests/snapshots + atomic version pointer; time travel, incremental
+  append-range scans, metadata-only rollback, add/drop-column schema
+  evolution, snapshots/files metadata tables), the IVF ANN index
   (cell-clustered embedding layout with manifest file pruning +
   trained spherical-k-means codebook), deterministic synthetic
   sequence generation, and cross-run state (contracts/baselines/history).
