@@ -53,7 +53,10 @@ class IceMiniStreamSink:
             self._epochs = self._committed_epochs()
         if epoch_id in self._epochs:
             return  # replayed epoch whose commit already landed
-        df = batch_df
+        # a stream started before an add-column evolution keeps working:
+        # evolved nullable columns the stream doesn't carry are
+        # null-filled (and stale extra columns projected away)
+        df = self.table.align_to_schema(batch_df)
         if self.target_file_rows:
             n = df.count()
             if n == 0:

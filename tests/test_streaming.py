@@ -38,6 +38,21 @@ def test_stream_append_commits_snapshots(spark, tmp_path):
     assert t.scan().count() == 800
     assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
 
+    # evolve mid-stream: the un-evolved producer keeps working — its
+    # next micro-batch is null-filled onto the evolved schema
+    t.add_columns({"quality": "double"})
+    generate_sequences(spark, 100, start_id=20_000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    q3 = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    q3.awaitTermination(120)
+    assert t.scan().count() == 900
+    assert t.scan().schema.fieldNames()[-1] == "quality"
+
 
 def test_stream_crash_between_write_and_commit(spark, tmp_path):
     """Crash INSIDE the exactly-once window — after write_data_files
