@@ -637,6 +637,34 @@ def q_maintain_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Copy-on-write DELETE in the correctness gate: takedown/
+    # contamination removal (Iceberg DELETE FROM ... WHERE) on a real
+    # IceMiniTable — affected-file discovery over input_file_name(),
+    # survivors-only rewrite, conflict-checked commit. The oracle is
+    # the complement re-derived in SQL; tok_sum certifies the surviving
+    # token arrays (token-array-equality invariant, summed).
+    from datalakequality_spark.maintenance.merge import delete_where
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 3571) % 347 + 1, 19, F.col("source")
+    )
+    root = _seq_table_tmpdir("dlq-delete-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    delete_where(t, "n_tok % 5 = 0")
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style incremental append read in the correctness gate:
     # append batch A, record the version, append batch B, then a
@@ -773,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "merge_upsert": q_merge_upsert,
         "maintain_rewrite": q_maintain_rewrite,
+        "delete_where": q_delete_where,
         "incremental_scan": q_incremental_scan,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
@@ -1223,6 +1252,19 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt
+        """,
+        "delete_where": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 3571) % 347 + 1 AS n_tok, source,
+                     doc_id AS raw_id
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * 19 + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM tgt WHERE NOT (n_tok % 5 = 0)
         """,
         "incremental_scan": """
             WITH added AS (

@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
                    help="commit batches in flight at once; 1 = "
                         "strictly serial")
 
+    p = sub.add_parser("delete", help="copy-on-write DELETE FROM ... WHERE "
+                       "(takedown/contamination removal)")
+    _add_common(p)
+    p.add_argument("--where", required=True, help="SQL predicate; matching "
+                   "rows are removed")
+    p.add_argument("--min-n-tok", type=int, default=None,
+                   help="manifest-pruning envelope of the predicate")
+    p.add_argument("--max-n-tok", type=int, default=None)
+    p.add_argument("--sources", default=None,
+                   help="comma-separated source pruning envelope")
+
     p = sub.add_parser("expire", help="snapshot expiration + reachability GC")
     _add_common(p)
     p.add_argument("--keep-last", type=int, default=3)
@@ -162,6 +173,17 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             job_id=args.job_id,
             max_batch_files=args.max_batch_files,
             max_concurrent_batches=args.max_concurrent,
+        )
+    elif args.cmd == "delete":
+        from .maintenance.merge import delete_where
+
+        out = delete_where(
+            table,
+            args.where,
+            job_id=args.job_id,
+            min_n_tok=args.min_n_tok,
+            max_n_tok=args.max_n_tok,
+            sources=args.sources.split(",") if args.sources else None,
         )
     elif args.cmd == "expire":
         out = table.expire_snapshots(keep_last=args.keep_last)

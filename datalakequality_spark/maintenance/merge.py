@@ -201,6 +201,105 @@ def merge_into(
     return result
 
 
+def delete_where(
+    table: IceMiniTable,
+    condition,
+    job_id: str | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+    sources: list[str] | None = None,
+) -> dict[str, Any]:
+    """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
+    takedown/contamination-removal op a training-data pipeline needs.
+
+    1. Manifest pruning: the optional ``min_n_tok``/``max_n_tok``/
+       ``sources`` bounds skip files whose per-file stats cannot match
+       (Iceberg's metadata-driven delete planning; an arbitrary
+       predicate cannot be pruned from min/max alone, so callers pass
+       the prunable envelope of their predicate when they have one).
+    2. ONE distributed job finds *affected* files — files with ≥1
+       matching row — via input_file_name() over the pruned candidates.
+    3. Only affected files are rewritten (survivors = rows where NOT
+       condition); untouched files are carried by manifest reference.
+    4. Single conflict-checked commit (required_paths = affected), with
+       a lineage intent/done record so a crashed delete resumes
+       idempotently under the same job_id.
+    """
+    spark = table.spark
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    job_id = job_id or f"delete-{uuid.uuid4().hex[:12]}"
+    log = JobLog(table.root, job_id)
+    sch = table.schema()
+    tid = "delete"
+
+    tasks = log.load_plan()
+    if tasks is None:
+        candidates = table.prune_entries(
+            table.live_entries(), min_n_tok, max_n_tok, sources
+        )
+        affected_rel: list[str] = []
+        if candidates:
+            cand_abs = [table._abs(e.path) for e in candidates]
+            hits = (
+                spark.read.schema(sch)
+                .parquet(*cand_abs)
+                .where(cond)
+                .select(F.expr(_FILE_NORM).alias("____file"))
+                .distinct()
+                .collect()
+            )
+            affected_rel = sorted(
+                os.path.relpath(r["____file"], table.root) for r in hits
+            )
+        tasks = [{"task_id": tid, "input_files": affected_rel}]
+        log.write_plan(tasks)
+
+    task = tasks[0]
+    inputs: list[str] = task["input_files"]
+    result = {"job_id": job_id, "affected_files": len(inputs)}
+    if log.is_done(tid):
+        return {**result, "skipped": 1, **log.intent(tid)["counts"]}
+    intent = log.intent(tid)
+    if intent is not None and (
+        commit_landed(table, job_id, tid)
+        or (inputs and not (set(inputs) & table.live_paths()))
+    ):
+        log.mark_done(tid, intent)
+        return {**result, "skipped": 1, **intent["counts"]}
+
+    new_entries: list[FileEntry] = []
+    if inputs:
+        survivors = (
+            spark.read.schema(sch)
+            .parquet(*[table._abs(p) for p in inputs])
+            .where(~cond)
+        )
+        new_entries = table.write_data_files(survivors)
+    by_path = {e.path: e for e in table.live_entries()}
+    rows_before = sum(by_path[p].rows for p in inputs if p in by_path)
+    counts = {
+        "deleted_rows": rows_before - sum(e.rows for e in new_entries),
+        "rewritten_files": len(inputs),
+        "new_files": len(new_entries),
+    }
+    record = {
+        "task_id": tid,
+        "input_files": inputs,
+        "output_files": [e.path for e in new_entries],
+        "counts": counts,
+    }
+    log.mark_intent(tid, record)
+    table.commit(
+        "delete",
+        added=new_entries,
+        removed_paths=inputs,
+        required_paths=inputs,
+        summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+    )
+    log.mark_done(tid, record)
+    return {**result, "skipped": 0, **counts}
+
+
 def _plan_merge(
     table: IceMiniTable,
     src_keys: DataFrame,

@@ -439,6 +439,56 @@ def test_concurrent_shards_equal_serial(spark, tmp_path):
     assert roots["conc"].scan().count() == 6000
 
 
+def test_delete_where(spark, tmp_path, monkeypatch):
+    """Copy-on-write DELETE: only affected files rewritten (manifest
+    pruning honored), exact surviving content, crash-resume idempotent."""
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "del"))
+    keep = generate_sequences(spark, 2000).withColumn("source", F.lit("keep"))
+    purge = generate_sequences(spark, 2000, start_id=10_000).withColumn(
+        "source", F.lit("purge")
+    )
+    t.append(keep, target_file_rows=500)
+    t.append(purge, target_file_rows=500)
+    n_files = len(t.live_entries())  # 8, single-source each
+
+    r = delete_where(t, "source = 'purge'", sources=["purge"])
+    assert t.scan().count() == 2000
+    assert t.scan().where("source = 'purge'").count() == 0
+    # manifest pruning: only the purge files were candidates/rewritten
+    assert r["rewritten_files"] == 4 < n_files
+    assert r["deleted_rows"] == 2000 and r["new_files"] == 0
+
+    # no-match delete: zero affected files, clean no-op
+    r2 = delete_where(t, "n_tok > 100000")
+    assert r2["affected_files"] == 0 and r2["deleted_rows"] == 0
+    assert t.scan().count() == 2000
+
+    # partial in-file delete: survivors rewritten, complement exact
+    expect = t.scan().where("NOT (n_tok % 7 = 0)").count()
+    r3 = delete_where(t, "n_tok % 7 = 0")
+    assert t.scan().count() == expect and r3["new_files"] > 0
+
+    # crash after commit, before ack -> resume skips, content unchanged
+    job = "delete-resume-test"
+    real_mark_done = JobLog.mark_done
+
+    def dying(self, task_id, record):
+        raise RuntimeError("crash post-commit")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        delete_where(t, "n_tok % 11 = 0", job_id=job)
+    v = t.current_version()
+    h = _content_hash(t)
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    r4 = delete_where(t, "n_tok % 11 = 0", job_id=job)
+    assert r4["skipped"] == 1
+    assert t.current_version() == v and _content_hash(t) == h
+    assert t.scan().where("n_tok % 11 = 0").count() == 0
+
+
 def test_metadata_tables(spark, tmp_path):
     """Iceberg-style snapshots/files metadata tables: manifest stats as
     DataFrames, consistent with the table's own accounting, with time
