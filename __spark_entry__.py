@@ -665,6 +665,33 @@ def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Copy-on-write UPDATE in the correctness gate: predicate-addressed
+    # SET (re-tag matching rows' source) through the real table path —
+    # affected-file discovery, CASE-WHEN rewrite of only those files,
+    # conflict-checked commit. Oracle = the same CASE in SQL; tok_sum
+    # certifies the token arrays were NOT touched by the update.
+    from datalakequality_spark.maintenance.merge import update_where
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 2677) % 311 + 1, 17, F.col("source")
+    )
+    root = _seq_table_tmpdir("dlq-update-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    update_where(t, "n_tok % 4 = 0", {"source": F.lit("redacted")})
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style incremental append read in the correctness gate:
     # append batch A, record the version, append batch B, then a
@@ -802,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "maintain_rewrite": q_maintain_rewrite,
         "delete_where": q_delete_where,
+        "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
@@ -1265,6 +1293,21 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt WHERE NOT (n_tok % 5 = 0)
+        """,
+        "update_where": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 2677) % 311 + 1 AS n_tok, source,
+                     doc_id AS raw_id
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                   CASE WHEN n_tok % 4 = 0 THEN 'redacted' ELSE source END
+                     AS source,
+                   CAST(list_sum([(raw_id * 17 + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM tgt
         """,
         "incremental_scan": """
             WITH added AS (

@@ -300,6 +300,111 @@ def delete_where(
     return {**result, "skipped": 0, **counts}
 
 
+def update_where(
+    table: IceMiniTable,
+    condition,
+    assignments: dict[str, Any],
+    job_id: str | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+    sources: list[str] | None = None,
+) -> dict[str, Any]:
+    """Copy-on-write UPDATE (Iceberg ``UPDATE t SET ... WHERE ...``) —
+    predicate-addressed row edits (re-tag a source, fix a bad n_tok)
+    without a keyed MERGE source. Same execution shape as
+    ``delete_where``: manifest-pruned candidates → affected-file
+    discovery → rewrite ONLY affected files with
+    ``CASE WHEN condition THEN assignment ELSE original`` per assigned
+    column → one conflict-checked, lineage-logged, resumable commit.
+    ``assignments`` maps column name → Column or SQL expression string
+    (evaluated against the pre-update row).
+    """
+    spark = table.spark
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    job_id = job_id or f"update-{uuid.uuid4().hex[:12]}"
+    log = JobLog(table.root, job_id)
+    sch = table.schema()
+    names = sch.fieldNames()
+    unknown = sorted(set(assignments) - set(names))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns: {unknown}")
+    by_type = {f.name: f.dataType for f in sch.fields}
+    tid = "update"
+
+    tasks = log.load_plan()
+    if tasks is None:
+        candidates = table.prune_entries(
+            table.live_entries(), min_n_tok, max_n_tok, sources
+        )
+        affected_rel: list[str] = []
+        if candidates:
+            cand_abs = [table._abs(e.path) for e in candidates]
+            hits = (
+                spark.read.schema(sch)
+                .parquet(*cand_abs)
+                .where(cond)
+                .select(F.expr(_FILE_NORM).alias("____file"))
+                .distinct()
+                .collect()
+            )
+            affected_rel = sorted(
+                os.path.relpath(r["____file"], table.root) for r in hits
+            )
+        tasks = [{"task_id": tid, "input_files": affected_rel}]
+        log.write_plan(tasks)
+
+    task = tasks[0]
+    inputs: list[str] = task["input_files"]
+    result = {"job_id": job_id, "affected_files": len(inputs)}
+    if log.is_done(tid):
+        return {**result, "skipped": 1, **log.intent(tid)["counts"]}
+    intent = log.intent(tid)
+    if intent is not None and (
+        commit_landed(table, job_id, tid)
+        or (inputs and not (set(inputs) & table.live_paths()))
+    ):
+        log.mark_done(tid, intent)
+        return {**result, "skipped": 1, **intent["counts"]}
+
+    new_entries: list[FileEntry] = []
+    if inputs:
+        src = spark.read.schema(sch).parquet(*[table._abs(p) for p in inputs])
+        cols = []
+        for n in names:
+            if n in assignments:
+                a = assignments[n]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(
+                    F.when(cond, expr.cast(by_type[n]))
+                    .otherwise(F.col(n))
+                    .alias(n)
+                )
+            else:
+                cols.append(F.col(n))
+        new_entries = table.write_data_files(src.select(*cols))
+    counts = {
+        "rewritten_files": len(inputs),
+        "new_files": len(new_entries),
+        "rows": sum(e.rows for e in new_entries),
+    }
+    record = {
+        "task_id": tid,
+        "input_files": inputs,
+        "output_files": [e.path for e in new_entries],
+        "counts": counts,
+    }
+    log.mark_intent(tid, record)
+    table.commit(
+        "update",
+        added=new_entries,
+        removed_paths=inputs,
+        required_paths=inputs,
+        summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+    )
+    log.mark_done(tid, record)
+    return {**result, "skipped": 0, **counts}
+
+
 def _plan_merge(
     table: IceMiniTable,
     src_keys: DataFrame,

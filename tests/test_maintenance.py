@@ -489,6 +489,35 @@ def test_delete_where(spark, tmp_path, monkeypatch):
     assert t.scan().where("n_tok % 11 = 0").count() == 0
 
 
+def test_update_where(spark, tmp_path):
+    """Copy-on-write UPDATE: CASE-WHEN rewrite of affected files only;
+    untouched rows byte-identical; unknown columns raise."""
+    from datalakequality_spark.maintenance.merge import update_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "upd"))
+    t.append(generate_sequences(spark, 3000), target_file_rows=500)
+    n_match = t.scan().where("n_tok % 4 = 0").count()
+    tok_sum0 = t.scan().agg(
+        F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x))
+    ).collect()[0][0]
+
+    r = update_where(t, "n_tok % 4 = 0", {"source": F.lit("redacted")})
+    assert t.scan().where("source = 'redacted'").count() == n_match
+    assert t.scan().count() == 3000
+    assert r["rows"] > 0 and r["affected_files"] > 0
+    # token arrays untouched by a source-only update
+    assert t.scan().agg(
+        F.sum(F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x))
+    ).collect()[0][0] == tok_sum0
+
+    # SQL-string assignment referencing the pre-update row
+    update_where(t, "source = 'redacted'", {"n_tok": "n_tok + 1000"})
+    assert t.scan().where("source = 'redacted' AND n_tok > 1000").count() == n_match
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_where(t, "true", {"nope": F.lit(1)})
+
+
 def test_metadata_tables(spark, tmp_path):
     """Iceberg-style snapshots/files metadata tables: manifest stats as
     DataFrames, consistent with the table's own accounting, with time
