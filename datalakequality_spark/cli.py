@@ -15,6 +15,11 @@ submissions go through the thin launcher scripts/dlq_cli.py:
         merge --table .../seqs --source .../batch.parquet --job-id m-42
     spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         expire --table .../seqs --keep-last 3
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        delete --table .../seqs --where "source = 'contaminated'" \\
+        --sources contaminated
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        rollback --table .../seqs --to-version 41
 
 (`python -m datalakequality_spark.cli ...` runs the same jobs in local
 mode; the bench and tests go through the same library entry points.)
