@@ -201,36 +201,38 @@ def merge_into(
     return result
 
 
-def delete_where(
+def _predicate_rewrite(
     table: IceMiniTable,
-    condition,
-    job_id: str | None = None,
-    min_n_tok: int | None = None,
-    max_n_tok: int | None = None,
-    sources: list[str] | None = None,
+    cond,
+    operation: str,
+    rewrite,
+    job_id: str,
+    min_n_tok: int | None,
+    max_n_tok: int | None,
+    sources: list[str] | None,
 ) -> dict[str, Any]:
-    """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
-    takedown/contamination-removal op a training-data pipeline needs.
+    """Shared copy-on-write core of DELETE WHERE / UPDATE WHERE.
 
     1. Manifest pruning: the optional ``min_n_tok``/``max_n_tok``/
        ``sources`` bounds skip files whose per-file stats cannot match
-       (Iceberg's metadata-driven delete planning; an arbitrary
-       predicate cannot be pruned from min/max alone, so callers pass
-       the prunable envelope of their predicate when they have one).
-    2. ONE distributed job finds *affected* files — files with ≥1
+       (Iceberg's metadata-driven DML planning; an arbitrary predicate
+       cannot be pruned from min/max alone, so callers pass the prunable
+       envelope of their predicate when they have one).
+    2. ONE distributed job finds *affected* files — files with >=1
        matching row — via input_file_name() over the pruned candidates.
-    3. Only affected files are rewritten (survivors = rows where NOT
-       condition); untouched files are carried by manifest reference.
+    3. Only affected files are rewritten through ``rewrite(df)``;
+       untouched files are carried by manifest reference.
     4. Single conflict-checked commit (required_paths = affected), with
-       a lineage intent/done record so a crashed delete resumes
+       a lineage intent/done record so a crashed job resumes
        idempotently under the same job_id.
+
+    Returns generic counts (rows_before/rows_after/rewritten_files/
+    new_files); the public wrappers rename them.
     """
     spark = table.spark
-    cond = F.expr(condition) if isinstance(condition, str) else condition
-    job_id = job_id or f"delete-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
     sch = table.schema()
-    tid = "delete"
+    tid = operation
 
     tasks = log.load_plan()
     if tasks is None:
@@ -254,107 +256,7 @@ def delete_where(
         tasks = [{"task_id": tid, "input_files": affected_rel}]
         log.write_plan(tasks)
 
-    task = tasks[0]
-    inputs: list[str] = task["input_files"]
-    result = {"job_id": job_id, "affected_files": len(inputs)}
-    if log.is_done(tid):
-        return {**result, "skipped": 1, **log.intent(tid)["counts"]}
-    intent = log.intent(tid)
-    if intent is not None and (
-        commit_landed(table, job_id, tid)
-        or (inputs and not (set(inputs) & table.live_paths()))
-    ):
-        log.mark_done(tid, intent)
-        return {**result, "skipped": 1, **intent["counts"]}
-
-    new_entries: list[FileEntry] = []
-    if inputs:
-        survivors = (
-            spark.read.schema(sch)
-            .parquet(*[table._abs(p) for p in inputs])
-            .where(~cond)
-        )
-        new_entries = table.write_data_files(survivors)
-    by_path = {e.path: e for e in table.live_entries()}
-    rows_before = sum(by_path[p].rows for p in inputs if p in by_path)
-    counts = {
-        "deleted_rows": rows_before - sum(e.rows for e in new_entries),
-        "rewritten_files": len(inputs),
-        "new_files": len(new_entries),
-    }
-    record = {
-        "task_id": tid,
-        "input_files": inputs,
-        "output_files": [e.path for e in new_entries],
-        "counts": counts,
-    }
-    log.mark_intent(tid, record)
-    table.commit(
-        "delete",
-        added=new_entries,
-        removed_paths=inputs,
-        required_paths=inputs,
-        summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
-    )
-    log.mark_done(tid, record)
-    return {**result, "skipped": 0, **counts}
-
-
-def update_where(
-    table: IceMiniTable,
-    condition,
-    assignments: dict[str, Any],
-    job_id: str | None = None,
-    min_n_tok: int | None = None,
-    max_n_tok: int | None = None,
-    sources: list[str] | None = None,
-) -> dict[str, Any]:
-    """Copy-on-write UPDATE (Iceberg ``UPDATE t SET ... WHERE ...``) —
-    predicate-addressed row edits (re-tag a source, fix a bad n_tok)
-    without a keyed MERGE source. Same execution shape as
-    ``delete_where``: manifest-pruned candidates → affected-file
-    discovery → rewrite ONLY affected files with
-    ``CASE WHEN condition THEN assignment ELSE original`` per assigned
-    column → one conflict-checked, lineage-logged, resumable commit.
-    ``assignments`` maps column name → Column or SQL expression string
-    (evaluated against the pre-update row).
-    """
-    spark = table.spark
-    cond = F.expr(condition) if isinstance(condition, str) else condition
-    job_id = job_id or f"update-{uuid.uuid4().hex[:12]}"
-    log = JobLog(table.root, job_id)
-    sch = table.schema()
-    names = sch.fieldNames()
-    unknown = sorted(set(assignments) - set(names))
-    if unknown:
-        raise ValueError(f"UPDATE assigns unknown columns: {unknown}")
-    by_type = {f.name: f.dataType for f in sch.fields}
-    tid = "update"
-
-    tasks = log.load_plan()
-    if tasks is None:
-        candidates = table.prune_entries(
-            table.live_entries(), min_n_tok, max_n_tok, sources
-        )
-        affected_rel: list[str] = []
-        if candidates:
-            cand_abs = [table._abs(e.path) for e in candidates]
-            hits = (
-                spark.read.schema(sch)
-                .parquet(*cand_abs)
-                .where(cond)
-                .select(F.expr(_FILE_NORM).alias("____file"))
-                .distinct()
-                .collect()
-            )
-            affected_rel = sorted(
-                os.path.relpath(r["____file"], table.root) for r in hits
-            )
-        tasks = [{"task_id": tid, "input_files": affected_rel}]
-        log.write_plan(tasks)
-
-    task = tasks[0]
-    inputs: list[str] = task["input_files"]
+    inputs: list[str] = tasks[0]["input_files"]
     result = {"job_id": job_id, "affected_files": len(inputs)}
     if log.is_done(tid):
         return {**result, "skipped": 1, **log.intent(tid)["counts"]}
@@ -369,23 +271,13 @@ def update_where(
     new_entries: list[FileEntry] = []
     if inputs:
         src = spark.read.schema(sch).parquet(*[table._abs(p) for p in inputs])
-        cols = []
-        for n in names:
-            if n in assignments:
-                a = assignments[n]
-                expr = F.expr(a) if isinstance(a, str) else a
-                cols.append(
-                    F.when(cond, expr.cast(by_type[n]))
-                    .otherwise(F.col(n))
-                    .alias(n)
-                )
-            else:
-                cols.append(F.col(n))
-        new_entries = table.write_data_files(src.select(*cols))
+        new_entries = table.write_data_files(rewrite(src))
+    by_path = {e.path: e for e in table.live_entries()}
     counts = {
         "rewritten_files": len(inputs),
         "new_files": len(new_entries),
-        "rows": sum(e.rows for e in new_entries),
+        "rows_before": sum(by_path[p].rows for p in inputs if p in by_path),
+        "rows_after": sum(e.rows for e in new_entries),
     }
     record = {
         "task_id": tid,
@@ -395,7 +287,7 @@ def update_where(
     }
     log.mark_intent(tid, record)
     table.commit(
-        "update",
+        operation,
         added=new_entries,
         removed_paths=inputs,
         required_paths=inputs,
@@ -403,6 +295,86 @@ def update_where(
     )
     log.mark_done(tid, record)
     return {**result, "skipped": 0, **counts}
+
+
+def delete_where(
+    table: IceMiniTable,
+    condition,
+    job_id: str | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+    sources: list[str] | None = None,
+) -> dict[str, Any]:
+    """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
+    takedown/contamination-removal op a training-data pipeline needs.
+    Survivors = rows where NOT condition; see ``_predicate_rewrite`` for
+    the pruning/discovery/commit/resume shape."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    r = _predicate_rewrite(
+        table,
+        cond,
+        "delete",
+        lambda df: df.where(~cond),
+        job_id or f"delete-{uuid.uuid4().hex[:12]}",
+        min_n_tok,
+        max_n_tok,
+        sources,
+    )
+    r["deleted_rows"] = r.pop("rows_before") - r.pop("rows_after")
+    return r
+
+
+def update_where(
+    table: IceMiniTable,
+    condition,
+    assignments: dict[str, Any],
+    job_id: str | None = None,
+    min_n_tok: int | None = None,
+    max_n_tok: int | None = None,
+    sources: list[str] | None = None,
+) -> dict[str, Any]:
+    """Copy-on-write UPDATE (Iceberg ``UPDATE t SET ... WHERE ...``) —
+    predicate-addressed row edits (re-tag a source, fix a bad n_tok)
+    without a keyed MERGE source. Affected files are rewritten with
+    ``CASE WHEN condition THEN assignment ELSE original`` per assigned
+    column; ``assignments`` maps column name -> Column or SQL expression
+    string (evaluated against the pre-update row). See
+    ``_predicate_rewrite`` for the pruning/discovery/commit/resume
+    shape."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    sch = table.schema()
+    unknown = sorted(set(assignments) - set(sch.fieldNames()))
+    if unknown:
+        raise ValueError(f"UPDATE assigns unknown columns: {unknown}")
+
+    def _apply(df: DataFrame) -> DataFrame:
+        cols = []
+        for f in sch.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                expr = F.expr(a) if isinstance(a, str) else a
+                cols.append(
+                    F.when(cond, expr.cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
+
+    r = _predicate_rewrite(
+        table,
+        cond,
+        "update",
+        _apply,
+        job_id or f"update-{uuid.uuid4().hex[:12]}",
+        min_n_tok,
+        max_n_tok,
+        sources,
+    )
+    r.pop("rows_before", None)
+    r["rows"] = r.pop("rows_after")
+    return r
 
 
 def _plan_merge(
