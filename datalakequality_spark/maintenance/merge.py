@@ -210,6 +210,8 @@ def _predicate_rewrite(
     min_n_tok: int | None,
     max_n_tok: int | None,
     sources: list[str] | None,
+    max_batch_files: int = 256,
+    max_concurrent: int = 4,
 ) -> dict[str, Any]:
     """Shared copy-on-write core of DELETE WHERE / UPDATE WHERE.
 
@@ -221,10 +223,15 @@ def _predicate_rewrite(
     2. ONE distributed job finds *affected* files — files with >=1
        matching row — via input_file_name() over the pruned candidates.
     3. Only affected files are rewritten through ``rewrite(df)``;
-       untouched files are carried by manifest reference.
-    4. Single conflict-checked commit (required_paths = affected), with
-       a lineage intent/done record so a crashed job resumes
-       idempotently under the same job_id.
+       untouched files are carried by manifest reference. Affected files
+       are grouped into commit batches of <= ``max_batch_files`` (row-
+       level predicates are file-local, so batching cannot change the
+       result), each its own conflict-checked, lineage-logged snapshot
+       commit — at 10^11-file scale a takedown keeps partial progress
+       instead of one all-or-nothing commit, exactly like batched MERGE.
+    4. Batches run from the bounded concurrent pool (lineage.run_tasks);
+       a crashed job resumes idempotently under the same job_id, landed
+       batches skipped.
 
     Returns generic counts (rows_before/rows_after/rewritten_files/
     new_files); the public wrappers rename them.
@@ -232,7 +239,6 @@ def _predicate_rewrite(
     spark = table.spark
     log = JobLog(table.root, job_id)
     sch = table.schema()
-    tid = operation
 
     tasks = log.load_plan()
     if tasks is None:
@@ -253,48 +259,70 @@ def _predicate_rewrite(
             affected_rel = sorted(
                 os.path.relpath(r["____file"], table.root) for r in hits
             )
-        tasks = [{"task_id": tid, "input_files": affected_rel}]
+        batches = _chunk(affected_rel, max_batch_files) or [[]]
+        tasks = [
+            {"task_id": f"{operation}-{i:05d}", "input_files": b}
+            for i, b in enumerate(batches)
+        ]
         log.write_plan(tasks)
 
-    inputs: list[str] = tasks[0]["input_files"]
-    result = {"job_id": job_id, "affected_files": len(inputs)}
-    if log.is_done(tid):
-        return {**result, "skipped": 1, **log.intent(tid)["counts"]}
-    intent = log.intent(tid)
-    if intent is not None and (
-        commit_landed(table, job_id, tid)
-        or (inputs and not (set(inputs) & table.live_paths()))
-    ):
-        log.mark_done(tid, intent)
-        return {**result, "skipped": 1, **intent["counts"]}
+    def _exec(task: dict[str, Any]) -> dict[str, Any]:
+        tid = task["task_id"]
+        inputs: list[str] = task["input_files"]
+        if log.is_done(tid):
+            return {"skipped": 1, **log.intent(tid)["counts"]}
+        intent = log.intent(tid)
+        if intent is not None and (
+            commit_landed(table, job_id, tid)
+            or (inputs and not (set(inputs) & table.live_paths()))
+        ):
+            log.mark_done(tid, intent)
+            return {"skipped": 1, **intent["counts"]}
 
-    new_entries: list[FileEntry] = []
-    if inputs:
-        src = spark.read.schema(sch).parquet(*[table._abs(p) for p in inputs])
-        new_entries = table.write_data_files(rewrite(src))
-    by_path = {e.path: e for e in table.live_entries()}
-    counts = {
-        "rewritten_files": len(inputs),
-        "new_files": len(new_entries),
-        "rows_before": sum(by_path[p].rows for p in inputs if p in by_path),
-        "rows_after": sum(e.rows for e in new_entries),
+        new_entries: list[FileEntry] = []
+        if inputs:
+            src = spark.read.schema(sch).parquet(
+                *[table._abs(p) for p in inputs]
+            )
+            new_entries = table.write_data_files(rewrite(src))
+        by_path = {e.path: e for e in table.live_entries()}
+        counts = {
+            "rewritten_files": len(inputs),
+            "new_files": len(new_entries),
+            "rows_before": sum(by_path[p].rows for p in inputs if p in by_path),
+            "rows_after": sum(e.rows for e in new_entries),
+        }
+        record = {
+            "task_id": tid,
+            "input_files": inputs,
+            "output_files": [e.path for e in new_entries],
+            "counts": counts,
+        }
+        log.mark_intent(tid, record)
+        table.commit(
+            operation,
+            added=new_entries,
+            removed_paths=inputs,
+            required_paths=inputs,
+            summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+        )
+        log.mark_done(tid, record)
+        return {"skipped": 0, **counts}
+
+    result = {
+        "job_id": job_id,
+        "affected_files": sum(len(t["input_files"]) for t in tasks),
+        "skipped": 0,
+        "rewritten_files": 0,
+        "new_files": 0,
+        "rows_before": 0,
+        "rows_after": 0,
     }
-    record = {
-        "task_id": tid,
-        "input_files": inputs,
-        "output_files": [e.path for e in new_entries],
-        "counts": counts,
-    }
-    log.mark_intent(tid, record)
-    table.commit(
-        operation,
-        added=new_entries,
-        removed_paths=inputs,
-        required_paths=inputs,
-        summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
-    )
-    log.mark_done(tid, record)
-    return {**result, "skipped": 0, **counts}
+    for out in run_tasks(tasks, _exec, max_concurrent):
+        result["skipped"] += out.get("skipped", 0)
+        for k in ("rewritten_files", "new_files", "rows_before", "rows_after"):
+            result[k] += out.get(k, 0)
+    return result
 
 
 def delete_where(
@@ -304,11 +332,13 @@ def delete_where(
     min_n_tok: int | None = None,
     max_n_tok: int | None = None,
     sources: list[str] | None = None,
+    max_batch_files: int = 256,
+    max_concurrent: int = 4,
 ) -> dict[str, Any]:
     """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
     takedown/contamination-removal op a training-data pipeline needs.
     Survivors = rows where NOT condition; see ``_predicate_rewrite`` for
-    the pruning/discovery/commit/resume shape."""
+    the pruning/discovery/batched-commit/resume shape."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     r = _predicate_rewrite(
         table,
@@ -319,6 +349,8 @@ def delete_where(
         min_n_tok,
         max_n_tok,
         sources,
+        max_batch_files,
+        max_concurrent,
     )
     r["deleted_rows"] = r.pop("rows_before") - r.pop("rows_after")
     return r
@@ -332,6 +364,8 @@ def update_where(
     min_n_tok: int | None = None,
     max_n_tok: int | None = None,
     sources: list[str] | None = None,
+    max_batch_files: int = 256,
+    max_concurrent: int = 4,
 ) -> dict[str, Any]:
     """Copy-on-write UPDATE (Iceberg ``UPDATE t SET ... WHERE ...``) —
     predicate-addressed row edits (re-tag a source, fix a bad n_tok)
@@ -371,6 +405,8 @@ def update_where(
         min_n_tok,
         max_n_tok,
         sources,
+        max_batch_files,
+        max_concurrent,
     )
     r.pop("rows_before", None)
     r["rows"] = r.pop("rows_after")

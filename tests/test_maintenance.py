@@ -470,22 +470,27 @@ def test_delete_where(spark, tmp_path, monkeypatch):
     r3 = delete_where(t, "n_tok % 7 = 0")
     assert t.scan().count() == expect and r3["new_files"] > 0
 
-    # crash after commit, before ack -> resume skips, content unchanged
+    # BATCHED delete: crash at batch 1's post-commit window -> resume
+    # skips the landed batch, completes the rest, complement is exact
     job = "delete-resume-test"
     real_mark_done = JobLog.mark_done
+    expect2 = t.scan().where("NOT (n_tok % 11 = 0)").count()
 
     def dying(self, task_id, record):
         raise RuntimeError("crash post-commit")
 
     monkeypatch.setattr(JobLog, "mark_done", dying)
     with pytest.raises(RuntimeError):
-        delete_where(t, "n_tok % 11 = 0", job_id=job)
-    v = t.current_version()
-    h = _content_hash(t)
+        delete_where(
+            t, "n_tok % 11 = 0", job_id=job,
+            max_batch_files=2, max_concurrent=1,
+        )
     monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
-    r4 = delete_where(t, "n_tok % 11 = 0", job_id=job)
-    assert r4["skipped"] == 1
-    assert t.current_version() == v and _content_hash(t) == h
+    r4 = delete_where(
+        t, "n_tok % 11 = 0", job_id=job, max_batch_files=2
+    )
+    assert r4["skipped"] >= 1  # the landed-but-unacked batch
+    assert t.scan().count() == expect2
     assert t.scan().where("n_tok % 11 = 0").count() == 0
 
 
