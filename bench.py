@@ -43,6 +43,15 @@ round-over-round JSONs with that spread in mind; the r2 headline
 media_features) were added to the suite in r3, so the suite total is
 not comparable to r2; merge_upsert runs a REAL copy-on-write MERGE on
 a temp table, so its timing includes table writes by design.
+
+r4: three more table-backed queries joined the suite (delete_where,
+update_where, incremental_scan — each builds a real IceMini table, so
+their timings include table writes by design), and ivf_ann now runs
+the INDEXED path end-to-end (k-means build + cell-clustered write +
+manifest-pruned probe) instead of the in-memory IVF — slower than r3's
+number for that key because it measures strictly more real work. The
+cycle itself got 2.2-2.4x faster (concurrent shard/batch pool +
+single-commit merge at bench scale).
 """
 
 from __future__ import annotations
