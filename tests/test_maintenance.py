@@ -494,6 +494,38 @@ def test_delete_where(spark, tmp_path, monkeypatch):
     assert t.scan().where("n_tok % 11 = 0").count() == 0
 
 
+def test_delete_conflicts_with_concurrent_compaction(spark, tmp_path, monkeypatch):
+    """Snapshot isolation extends to predicate DML: a compaction that
+    rewrites the delete's input files between its planning and its
+    commit must abort the delete with CommitConflict (Iceberg
+    conflict-detection semantics), leaving content untouched."""
+    from datalakequality_spark.maintenance.merge import delete_where
+    from datalakequality_spark.sources.icemini import CommitConflict
+
+    t = IceMiniTable.create(spark, str(tmp_path / "dc"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    h0 = _content_hash(t)
+
+    orig = IceMiniTable.write_data_files
+    fired = {"done": False}
+
+    def hooked(self, df, *a, **k):
+        # first write call comes from the delete's rewrite, AFTER its
+        # plan pinned the input files — sneak a full compaction in
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(IceMiniTable, "write_data_files", orig)
+            compact_table(t, target_bytes=64 * 1024 * 1024)
+        return orig(self, df, *a, **k)
+
+    monkeypatch.setattr(IceMiniTable, "write_data_files", hooked)
+    with pytest.raises(CommitConflict):
+        delete_where(t, "n_tok % 2 = 0", max_concurrent=1)
+    # the delete never landed; the compaction did
+    assert _content_hash(t) == h0
+    assert t.snapshot().operation == "compact"
+
+
 def test_update_where(spark, tmp_path):
     """Copy-on-write UPDATE: CASE-WHEN rewrite of affected files only;
     untouched rows byte-identical; unknown columns raise."""
