@@ -372,7 +372,10 @@ def update_where(
     without a keyed MERGE source. Affected files are rewritten with
     ``CASE WHEN condition THEN assignment ELSE original`` per assigned
     column; ``assignments`` maps column name -> Column or SQL expression
-    string (evaluated against the pre-update row). See
+    string (evaluated against the pre-update row). As in SQL UPDATE,
+    assignments are applied verbatim — cross-column invariants (e.g.
+    ``n_tok = size(tokens)``) are the caller's to maintain; assign both
+    columns in one call when they must move together. See
     ``_predicate_rewrite`` for the pruning/discovery/commit/resume
     shape."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
