@@ -146,16 +146,44 @@ def merge_into(
         "tokens": 0,
         "matched_files": sum(len(t["input_files"]) for t in tasks),
     }
+    def _inserts_landed(intent: dict[str, Any]) -> bool:
+        """Landed-commit detection for the EMPTY-INPUT insert task, where
+        the inputs-no-longer-live fallback has nothing to check. Snapshot
+        tags can be expired between crash and resume, and re-applying an
+        insert-only commit would DUPLICATE rows, so two further probes:
+        (a) the intent's output files are all still live (the common
+        crash window — commit landed, ack didn't); (b) any inserted key
+        is already present in the table (survives later rewrites that
+        replaced the output files — commits are atomic, so one present
+        key ⇒ the whole insert landed; insert keys were unmatched at
+        plan time, so presence can only come from this commit)."""
+        outs = set(intent.get("output_files", []))
+        if outs and outs <= table.live_paths():
+            return True
+        ins = source
+        if os.path.isdir(keys_dir):
+            matched = spark.read.parquet(keys_dir).select(key)
+            ins = source.join(matched, key, "left_anti")
+        return (
+            ins.select(key)
+            .join(table.scan().select(key), key, "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+
     def _exec(task: dict[str, Any]) -> dict[str, Any] | None:
         tid = task["task_id"]
         inputs: list[str] = task["input_files"]
         if log.is_done(tid):
             return None
-        if log.intent(tid) is not None and (
+        intent = log.intent(tid)
+        if intent is not None and (
             commit_landed(table, job_id, tid)
             or (inputs and not (set(inputs) & table.live_paths()))
+            or (not inputs and _inserts_landed(intent))
         ):
-            log.mark_done(tid, log.intent(tid))
+            log.mark_done(tid, intent)
             return None
 
         rewritten = _task_output(
@@ -172,13 +200,16 @@ def merge_into(
             "tokens": sum(e.token_count for e in new_entries),
         }
         log.mark_intent(tid, record)
-        table.commit(
-            "merge",
-            added=new_entries,
-            removed_paths=inputs,
-            required_paths=inputs,
-            summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
-        )
+        if new_entries or inputs:
+            table.commit(
+                "merge",
+                added=new_entries,
+                removed_paths=inputs,
+                required_paths=inputs,
+                summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+            )
+        # else: nothing to add, nothing to remove (a source with zero
+        # unmatched keys) — marking done without a junk empty snapshot
         log.mark_done(tid, record)
         return record
 
@@ -259,10 +290,12 @@ def _predicate_rewrite(
             affected_rel = sorted(
                 os.path.relpath(r["____file"], table.root) for r in hits
             )
-        batches = _chunk(affected_rel, max_batch_files) or [[]]
+        # zero affected files ⇒ zero tasks: the plan is still pinned (so
+        # a resume sees the same no-op), but no empty commit churns a
+        # junk snapshot/manifest for every no-match DELETE/UPDATE
         tasks = [
             {"task_id": f"{operation}-{i:05d}", "input_files": b}
-            for i, b in enumerate(batches)
+            for i, b in enumerate(_chunk(affected_rel, max_batch_files))
         ]
         log.write_plan(tasks)
 
@@ -337,14 +370,18 @@ def delete_where(
 ) -> dict[str, Any]:
     """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
     takedown/contamination-removal op a training-data pipeline needs.
-    Survivors = rows where NOT condition; see ``_predicate_rewrite`` for
-    the pruning/discovery/batched-commit/resume shape."""
+    Survivors = rows where the condition is NOT TRUE — SQL DELETE's
+    three-valued logic: a NULL predicate (e.g. an evolved null-filled
+    column) keeps the row. ``~cond`` alone would evaluate NULL → NULL →
+    filtered out, silently deleting every null-predicate row in any
+    affected file. See ``_predicate_rewrite`` for the pruning/discovery/
+    batched-commit/resume shape."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     r = _predicate_rewrite(
         table,
         cond,
         "delete",
-        lambda df: df.where(~cond),
+        lambda df: df.where(~F.coalesce(cond, F.lit(False))),
         job_id or f"delete-{uuid.uuid4().hex[:12]}",
         min_n_tok,
         max_n_tok,

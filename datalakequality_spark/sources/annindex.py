@@ -151,6 +151,12 @@ class AnnIvfIndex:
         manifest = {
             "id_col": id_col,
             "vec_col": vec_col,
+            # column types pinned at build time so the empty-probe
+            # DataFrame's schema matches the data files exactly (a
+            # hardcoded LongType id diverged for string-id indexes and
+            # broke downstream unions; ADVICE r4)
+            "id_type": df.schema[id_col].dataType.simpleString(),
+            "vec_type": df.schema[vec_col].dataType.simpleString(),
             "n_centroids": n_centroids,
             "centroids": cents.tolist(),
             "files": files,
@@ -184,14 +190,24 @@ class AnnIvfIndex:
         """Scan ONLY the probed cells' files (the pruned I/O path)."""
         paths = [os.path.join(self.root, p) for p in self.prune_files(cells)]
         if not paths:
+            # empty-result schema from the manifest's pinned column
+            # types (pre-pinning manifests fall back to the old
+            # long-id/double-vec assumption)
             return self.spark.createDataFrame(
                 [],
                 T.StructType(
                     [
-                        T.StructField(self.manifest["id_col"], T.LongType()),
+                        T.StructField(
+                            self.manifest["id_col"],
+                            T.DataType.fromDDL(
+                                self.manifest.get("id_type", "bigint")
+                            ),
+                        ),
                         T.StructField(
                             self.manifest["vec_col"],
-                            T.ArrayType(T.DoubleType()),
+                            T.DataType.fromDDL(
+                                self.manifest.get("vec_type", "array<double>")
+                            ),
                         ),
                     ]
                 ),

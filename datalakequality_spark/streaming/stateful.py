@@ -62,6 +62,11 @@ def streaming_sessionize(
 
     The watermark (default: the gap itself) drives both late-data
     dropping and the event-time timeout that flushes idle sessions.
+    A within-watermark straggler older than the open session's reach
+    is emitted as its own closed session (taking the next session_id,
+    so per-key ids stay unique but are assigned in EMISSION order, not
+    event-time order — the one documented divergence from the batch
+    sessionize numbering).
     """
     watermark = watermark or f"{gap_seconds} seconds"
     gap_us = gap_seconds * 1_000_000
@@ -95,31 +100,62 @@ def streaming_sessionize(
             if chunks:
                 import numpy as np
 
+                # straggler builder: late-but-within-watermark events
+                # OLDER than the open session's reach (t < start - gap).
+                # They cannot merge with the open session directly (the
+                # gap between them is > gap by construction), so they
+                # form their own closed session(s) — silently dropping
+                # them undercounted events vs the batch sessionize
+                # result (ADVICE r4). pend = (p_start, p_last, p_n).
+                pend: tuple[int, int, int] | None = None
                 for t in np.sort(np.concatenate(chunks)):
                     t = int(t)
                     if last is None:
                         start = last = t
                         n = 1
                     elif t - last > gap_us:
+                        if pend is not None:
+                            closed.append((key[0], sid, pend[2], pend[0], pend[1]))
+                            sid += 1
+                            pend = None
                         closed.append((key[0], sid, n, start, last))
                         sid += 1
                         start = last = t
                         n = 1
                     elif t < start - gap_us:
-                        # older than the open session's reach: a
-                        # late-but-within-watermark event from a session
-                        # that already closed — dropping matches the
-                        # watermark contract (emitted sessions are final)
-                        continue
+                        if pend is not None and t - pend[1] <= gap_us:
+                            pend = (pend[0], t, pend[2] + 1)
+                        else:
+                            if pend is not None:
+                                closed.append(
+                                    (key[0], sid, pend[2], pend[0], pend[1])
+                                )
+                                sid += 1
+                            pend = (t, t, 1)
                     else:
                         # in-gap event, possibly EARLIER than the stored
                         # state (late arrival): the session extends
                         # downward at start and must never move `last`
                         # backward — a shrinking end_ts made the
                         # event-time timeout fire before last_event+gap
+                        if pend is not None:
+                            if t - pend[1] <= gap_us:
+                                # this event bridges the straggler chain
+                                # into the open session: one session
+                                n += pend[2]
+                                start = pend[0]
+                            else:
+                                closed.append(
+                                    (key[0], sid, pend[2], pend[0], pend[1])
+                                )
+                                sid += 1
+                            pend = None
                         n += 1
                         start = min(start, t)
                         last = max(last, t)
+                if pend is not None:
+                    closed.append((key[0], sid, pend[2], pend[0], pend[1]))
+                    sid += 1
             if last is not None:
                 state.update((int(start), int(last), int(n), int(sid)))
                 # flush the open session once the watermark passes

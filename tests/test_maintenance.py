@@ -706,3 +706,95 @@ def test_incremental_scan_append_ranges(spark, tmp_path):
         t.incremental_scan(v1)
     with pytest.raises(ValueError):
         t.incremental_scan(0)
+
+
+def test_delete_where_null_predicate_keeps_null_rows(spark, tmp_path):
+    """SQL DELETE three-valued logic: a row whose predicate evaluates to
+    NULL is NOT deleted (only TRUE rows are). A bare ``where(~cond)``
+    silently dropped every null-predicate row in any affected file —
+    realistic after schema evolution null-fills a column (ADVICE r4)."""
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "nulldel"))
+    df = generate_sequences(spark, 1200).withColumn(
+        "n_tok",
+        F.when(F.col("n_tok") % 3 == 0, None).otherwise(F.col("n_tok")),
+    )
+    t.append(df, target_file_rows=300)
+    n_null = t.scan().where("n_tok IS NULL").count()
+    n_true = t.scan().where("n_tok % 2 = 0").count()
+    assert n_null > 0 and n_true > 0
+
+    r = delete_where(t, "n_tok % 2 = 0")
+    assert r["deleted_rows"] == n_true
+    # NULL-predicate rows all survive
+    assert t.scan().where("n_tok IS NULL").count() == n_null
+    assert t.scan().where("n_tok % 2 = 0").count() == 0
+
+
+def test_nomatch_dml_commits_no_snapshot(spark, tmp_path):
+    """A DELETE/UPDATE matching zero rows is a clean no-op: no empty
+    commit, no junk snapshot version, no manifest churn (ADVICE r4)."""
+    from datalakequality_spark.maintenance.merge import delete_where, update_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "nomatch"))
+    t.append(generate_sequences(spark, 500), target_file_rows=250)
+    v0 = t.current_version()
+
+    r1 = delete_where(t, "n_tok > 1000000")
+    r2 = update_where(t, "n_tok > 1000000", {"source": F.lit("x")})
+    assert r1["affected_files"] == 0 and r2["affected_files"] == 0
+    assert t.current_version() == v0  # zero snapshots created
+
+
+def test_merge_insert_resume_after_expire_no_duplicates(spark, tmp_path, monkeypatch):
+    """Resume safety for the EMPTY-INPUT insert task (ADVICE r4): crash
+    between commit and ack, then the tagged snapshot is expired AND the
+    insert's output files are rewritten away — resume must still detect
+    the landed commit (key-presence probe) and NOT re-append."""
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
+
+    t = IceMiniTable.create(spark, str(tmp_path / "insres"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+    inserts = generate_sequences(spark, 200, start_id=50_000)
+
+    real_mark_done = JobLog.mark_done
+
+    def dying(self, task_id, record):
+        raise RuntimeError("crash post-commit")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        merge_into(t, inserts, job_id="ins-resume")
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    assert t.scan().count() == 1200  # the insert commit DID land
+
+    # bury the evidence: rewrite replaces the insert's output files,
+    # extra commits + expire drop the tagged snapshot from retention
+    rewrite_sorted(t, method="zorder", target_rows_per_file=600)
+    t.append(generate_sequences(spark, 100, start_id=90_000))
+    t.expire_snapshots(keep_last=1)
+
+    merge_into(t, inserts, job_id="ins-resume")  # resume
+    assert t.scan().count() == 1300  # NOT 1500 — inserts not re-applied
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_merge_zero_insert_source_no_junk_snapshot(spark, tmp_path):
+    """A merge whose source is fully matched leaves no empty trailing
+    insert commit (the inserts task writes nothing, removes nothing)."""
+    t = IceMiniTable.create(spark, str(tmp_path / "zins"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=100)
+    updates = generate_sequences(spark, 1000, rev=1).where("n_tok % 9 = 0")
+    v0 = t.current_version()
+    merge_into(t, updates, max_batch_files=2)
+    # batched path ran (several batch commits) but NO empty insert commit
+    merge_snaps = [
+        s for s in t.snapshots() if s.operation == "merge" and s.snapshot_id > v0
+    ]
+    assert merge_snaps
+    assert all(
+        int(s.summary.get("added_files", 0)) + int(s.summary.get("removed_files", 0)) > 0
+        for s in merge_snaps
+    )
+    assert t.scan().count() == 1000

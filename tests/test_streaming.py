@@ -254,3 +254,65 @@ def test_streaming_sessionize_late_event_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert rows == [(1, 0, 3, ts(50), ts(200))]
+
+
+def test_streaming_sessionize_straggler_emits_own_session(spark, tmp_path):
+    """A late-but-within-watermark event OLDER than the open session's
+    reach (t < start - gap) cannot merge with it — it must be emitted
+    as its own closed session, not silently dropped (ADVICE r4): the
+    watermark admitted it, and batch sessionize would count it."""
+    import datetime as dt
+
+    from datalakequality_spark.streaming.stateful import streaming_sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # batch 1: open session [10000, 10050]; watermark = 10050 - 7200
+    spark.createDataFrame(
+        [(1, ts(10_000)), (1, ts(10_050))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: stragglers at 5000s and 5100s — within the 7200s
+    # watermark, but > gap older than the open session's start; they
+    # chain together (100s apart < gap) into ONE closed session
+    spark.createDataFrame(
+        [(1, ts(5_000)), (1, ts(5_100))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 3: far-future other user → timeout flushes user 1's session
+    spark.createDataFrame(
+        [(99, ts(100_000))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessionize(
+        stream, "user_id", "ts", gap_seconds=1800, watermark="7200 seconds"
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = sorted(
+        (r["user_id"], r["n_events"], r["start_ts"], r["end_ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # straggler pair emitted as one closed session; open session kept
+    # its full extent and flushed by the timeout; ids unique per key
+    assert rows == [
+        (1, 2, ts(5_000), ts(5_100)),
+        (1, 2, ts(10_000), ts(10_050)),
+    ]
+    sids = {r["session_id"] for r in spark.read.parquet(out).collect()}
+    assert len(sids) == 2

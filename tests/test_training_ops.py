@@ -584,3 +584,29 @@ def test_extract_features_real_codecs_through_mapinpandas(spark):
         np.testing.assert_allclose(out[k], ppm_features(v, {})[:16], rtol=1e-6)
     # duration feature reflects the real decode (0.1 s vs 0.25 s clips)
     assert out[0][0] < out[3][0]
+
+
+def test_ann_index_string_ids_empty_probe_schema(spark, tmp_path):
+    """The index pins its id/vector column types in the manifest at
+    build time, so an empty-probe result's schema matches the data
+    files even for string-id indexes (ADVICE r4 — LongType was
+    hardcoded and broke downstream unions)."""
+    from datalakequality_spark.sources.annindex import AnnIvfIndex
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 8))
+    df = spark.createDataFrame(
+        [(f"doc-{i}", vecs[i].tolist()) for i in range(80)],
+        "id string, v array<double>",
+    )
+    idx = AnnIvfIndex.build(
+        spark, df, "id", "v", str(tmp_path / "ivfstr"), n_centroids=4
+    )
+    empty = idx.scan_cells([999])  # no such cell → empty-result path
+    nonempty = idx.scan_cells(idx.probe_cells(vecs[0].tolist(), 2))
+    assert empty.schema == nonempty.schema
+    assert empty.count() == 0
+    # unions (the topk caller shape) must not throw on schema mismatch
+    assert nonempty.unionByName(empty).count() == nonempty.count()
+    got = [r["id"] for r in idx.topk(vecs[0].tolist(), k=3, n_probe=2).collect()]
+    assert got and got[0] == "doc-0"
