@@ -665,6 +665,37 @@ def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE-ON-READ DELETE in the correctness gate: the takedown writes
+    # O(matched keys) equality-delete bytes — ZERO data files rewritten
+    # (asserted here: the live data file set is unchanged) — and the
+    # scan anti-joins the delete files out (sources/icemini.py
+    # _read_with_deletes, seq-ordered). The oracle is the same SQL
+    # complement as the copy-on-write path: both modes must produce
+    # identical logical content; only the physical strategy differs.
+    from datalakequality_spark.maintenance.merge import delete_where
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 2143) % 331 + 1, 13, F.col("source")
+    )
+    root = _seq_table_tmpdir("dlq-delmor-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    data_paths = t.live_paths()
+    r = delete_where(t, "n_tok % 6 = 0", mode="merge_on_read")
+    assert r["rewritten_files"] == 0 and t.live_paths() == data_paths
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Copy-on-write UPDATE in the correctness gate: predicate-addressed
     # SET (re-tag matching rows' source) through the real table path —
@@ -829,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "maintain_rewrite": q_maintain_rewrite,
         "delete_where": q_delete_where,
+        "delete_where_mor": q_delete_where_mor,
         "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
         "ivf_ann": q_ivf_ann,
@@ -1293,6 +1325,19 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt WHERE NOT (n_tok % 5 = 0)
+        """,
+        "delete_where_mor": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 2143) % 331 + 1 AS n_tok, source,
+                     doc_id AS raw_id
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * 13 + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM tgt WHERE NOT (n_tok % 6 = 0)
         """,
         "update_where": """
             WITH tgt AS (

@@ -53,17 +53,19 @@ def _cluster_and_bucket(
     num_files: int,
     total_rows: int,
     schema=None,
+    df: DataFrame | None = None,
 ) -> DataFrame:
-    """Read ``paths``, add the curve key, and return a DataFrame hash-
-    partitioned on a ``__pid`` range-bucket column and sorted by
-    (``__pid``, key) within partitions — ready for the fanout writer
-    (``write_data_files(..., split_col="__pid")``).
+    """Add the curve key to ``df`` (or a raw read of ``paths``) and
+    return a DataFrame hash-partitioned on a ``__pid`` range-bucket
+    column and sorted by (``__pid``, key) within partitions — ready for
+    the fanout writer (``write_data_files(..., split_col="__pid")``).
 
     Bucket bounds are ``num_files``-quantiles of the curve key over a
     seeded sample of the three key dims only (pruned scan: token arrays
     are never decoded in the sample pass).
     """
-    df = spark.read.schema(schema or SEQUENCES_SCHEMA).parquet(*paths)
+    if df is None:
+        df = spark.read.schema(schema or SEQUENCES_SCHEMA).parquet(*paths)
     bounds: list[int] = []
     if num_files > 1:
         # ~500 sampled keys per bucket bounds the bucket-size error well
@@ -176,6 +178,11 @@ def _run_shards(
                 task["num_files"],
                 sum(e.rows for e in live_inputs),
                 schema=table.schema(),  # evolved columns survive rewrites
+                # pending MoR deletes are applied here (outputs take a
+                # fresh seq, so the rewrite physically sheds them; the
+                # last shard's commit then drops the dangling delete
+                # files — metadata-only)
+                df=table.read_files([e.path for e in live_inputs]),
             )
             new_entries = table.write_data_files(clustered, split_col="__pid")
         else:

@@ -35,25 +35,39 @@ def plan_bins(
     entries: list[FileEntry],
     target_bytes: int,
     small_file_bytes: int | None = None,
+    delete_entries: list[FileEntry] | None = None,
 ) -> list[list[FileEntry]]:
     """First-fit-decreasing packing of small files into ~target_bytes
     bins. Returns only bins worth rewriting (≥2 files, or 1 undersized
-    file that fits nothing else)."""
+    file that fits nothing else).
+
+    Files may only share a bin when the SAME pending equality deletes
+    apply to them (``applicable_delete_paths``): the compacted file
+    preserves the min member seq without applying deletes, so mixing a
+    pre-delete file with a post-delete file would make the delete
+    wrongly suppress the newer rows. Within a class the min seq is
+    provably safe; the classes collapse to one once deletes are shed."""
+    from ..sources.icemini import applicable_delete_paths
+
     small_file_bytes = small_file_bytes or int(target_bytes * 0.75)
-    small = sorted(
-        (e for e in entries if e.size_bytes < small_file_bytes),
-        key=lambda e: e.size_bytes,
-        reverse=True,
-    )
-    bins: list[tuple[int, list[FileEntry]]] = []
-    for e in small:
-        for i, (used, members) in enumerate(bins):
-            if used + e.size_bytes <= target_bytes:
-                bins[i] = (used + e.size_bytes, members + [e])
-                break
-        else:
-            bins.append((e.size_bytes, [e]))
-    return [members for _, members in bins if len(members) >= 2]
+    dels = delete_entries or []
+    classes: dict[frozenset, list[FileEntry]] = {}
+    for e in entries:
+        if e.size_bytes < small_file_bytes:
+            classes.setdefault(applicable_delete_paths(e, dels), []).append(e)
+    out: list[list[FileEntry]] = []
+    for members_cls in classes.values():
+        small = sorted(members_cls, key=lambda e: e.size_bytes, reverse=True)
+        bins: list[tuple[int, list[FileEntry]]] = []
+        for e in small:
+            for i, (used, members) in enumerate(bins):
+                if used + e.size_bytes <= target_bytes:
+                    bins[i] = (used + e.size_bytes, members + [e])
+                    break
+            else:
+                bins.append((e.size_bytes, [e]))
+        out.extend(members for _, members in bins if len(members) >= 2)
+    return out
 
 
 def _strip_uri(p: str) -> str:
@@ -63,7 +77,13 @@ def _strip_uri(p: str) -> str:
 def _merge_stats(members: list[FileEntry], path: str, size_bytes: int) -> FileEntry:
     """Output-file stats derived from the member manifest entries — the
     compacted file contains exactly the member rows, so rows/tokens sum
-    and min/max compose (min of mins, max of maxes); no stats re-scan."""
+    and min/max compose (min of mins, max of maxes); no stats re-scan.
+
+    The output PRESERVES the members' minimum data sequence number
+    (Iceberg RewriteDataFiles semantics): compaction carries rows 1:1
+    without applying pending equality deletes — keeping the oldest seq
+    means those deletes still apply to the compacted file at scan time,
+    so no MoR-deleted row is ever resurrected by a pure bin-pack."""
 
     def _mm(fn, vals):
         vals = [v for v in vals if v is not None]
@@ -80,6 +100,7 @@ def _merge_stats(members: list[FileEntry], path: str, size_bytes: int) -> FileEn
         max_source=_mm(max, [e.max_source for e in members]),
         min_doc_id=_mm(min, [e.min_doc_id for e in members]),
         max_doc_id=_mm(max, [e.max_doc_id for e in members]),
+        seq=min((e.seq or 0) for e in members),
     )
 
 
@@ -208,7 +229,12 @@ def compact_table(
 
     tasks = log.load_plan()
     if tasks is None:
-        bins = plan_bins(table.live_entries(), target_bytes, small_file_bytes)
+        bins = plan_bins(
+            table.live_entries(),
+            target_bytes,
+            small_file_bytes,
+            delete_entries=table.live_delete_entries(),
+        )
         tasks = []
         for i in range(0, len(bins), bins_per_batch):
             batch = bins[i : i + bins_per_batch]

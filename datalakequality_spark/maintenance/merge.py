@@ -314,9 +314,10 @@ def _predicate_rewrite(
 
         new_entries: list[FileEntry] = []
         if inputs:
-            src = spark.read.schema(sch).parquet(
-                *[table._abs(p) for p in inputs]
-            )
+            # read_files applies pending MoR deletes: the rewrite's
+            # output takes a fresh seq, so a raw read would resurrect
+            # already-deleted rows into the new files
+            src = table.read_files(inputs)
             new_entries = table.write_data_files(rewrite(src))
         by_path = {e.path: e for e in table.live_entries()}
         counts = {
@@ -367,16 +368,39 @@ def delete_where(
     sources: list[str] | None = None,
     max_batch_files: int = 256,
     max_concurrent: int = 4,
+    mode: str = "copy_on_write",
 ) -> dict[str, Any]:
-    """Copy-on-write DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the
-    takedown/contamination-removal op a training-data pipeline needs.
-    Survivors = rows where the condition is NOT TRUE — SQL DELETE's
-    three-valued logic: a NULL predicate (e.g. an evolved null-filled
-    column) keeps the row. ``~cond`` alone would evaluate NULL → NULL →
-    filtered out, silently deleting every null-predicate row in any
-    affected file. See ``_predicate_rewrite`` for the pruning/discovery/
-    batched-commit/resume shape."""
+    """DELETE (Iceberg ``DELETE FROM t WHERE ...``) — the takedown/
+    contamination-removal op a training-data pipeline needs. Survivors =
+    rows where the condition is NOT TRUE — SQL DELETE's three-valued
+    logic: a NULL predicate (e.g. an evolved null-filled column) keeps
+    the row. ``~cond`` alone would evaluate NULL → NULL → filtered out,
+    silently deleting every null-predicate row in any affected file.
+
+    ``mode="copy_on_write"`` (default): affected files are rewritten
+    without the matching rows — see ``_predicate_rewrite`` for the
+    pruning/discovery/batched-commit/resume shape. Read-optimal, but a
+    takedown matching one row in each of 10^5 files rewrites 10^5 files.
+
+    ``mode="merge_on_read"``: the matched doc_ids are written as
+    EQUALITY-DELETE files and the commit is O(matched keys) bytes —
+    scans anti-join them out (``IceMiniTable._read_with_deletes``) and
+    the next clustering rewrite sheds them physically. This is the
+    minutes-not-full-table-rewrite takedown at 100 TB. Requires the
+    table's doc_id-unique invariant (MERGE maintains it): equality
+    deletes suppress EVERY pre-delete row of a matched key."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    if mode == "merge_on_read":
+        return _delete_mor(
+            table,
+            cond,
+            job_id or f"delete-mor-{uuid.uuid4().hex[:12]}",
+            min_n_tok,
+            max_n_tok,
+            sources,
+        )
+    if mode != "copy_on_write":
+        raise ValueError(f"unknown DELETE mode {mode!r}")
     r = _predicate_rewrite(
         table,
         cond,
@@ -390,7 +414,112 @@ def delete_where(
         max_concurrent,
     )
     r["deleted_rows"] = r.pop("rows_before") - r.pop("rows_after")
+    r["mode"] = "copy_on_write"
     return r
+
+
+def _delete_mor(
+    table: IceMiniTable,
+    cond,
+    job_id: str,
+    min_n_tok: int | None,
+    max_n_tok: int | None,
+    sources: list[str] | None,
+) -> dict[str, Any]:
+    """Merge-on-read DELETE: ONE discovery pass over the manifest-pruned
+    candidates finds affected files; matched keys (read with pending
+    deletes applied, so already-deleted rows are not re-recorded) are
+    written as equality-delete files; ONE metadata commit adds them —
+    zero data files rewritten, O(matches) new bytes.
+
+    ``required_paths`` = the affected data files: a concurrent rewrite
+    of any of them would bump those rows to a seq newer than this
+    delete's (making it a no-op on them), so the commit must conflict —
+    the same validation Iceberg applies to row-delta commits. Resumable
+    under the same job_id via the lineage intent/done records; a landed
+    commit is re-detected by its snapshot tags or its delete files
+    being live."""
+    spark = table.spark
+    log = JobLog(table.root, job_id)
+    sch = table.schema()
+
+    tasks = log.load_plan()
+    if tasks is None:
+        candidates = table.prune_entries(
+            table.live_entries(), min_n_tok, max_n_tok, sources
+        )
+        affected_rel: list[str] = []
+        if candidates:
+            cand_abs = [table._abs(e.path) for e in candidates]
+            hits = (
+                spark.read.schema(sch)
+                .parquet(*cand_abs)
+                .where(cond)
+                .select(F.expr(_FILE_NORM).alias("____file"))
+                .distinct()
+                .collect()
+            )
+            affected_rel = sorted(
+                os.path.relpath(r["____file"], table.root) for r in hits
+            )
+        tasks = (
+            [{"task_id": "delete-mor", "input_files": affected_rel}]
+            if affected_rel
+            else []
+        )
+        log.write_plan(tasks)
+
+    result: dict[str, Any] = {
+        "job_id": job_id,
+        "mode": "merge_on_read",
+        "affected_files": sum(len(t["input_files"]) for t in tasks),
+        "skipped": 0,
+        "rewritten_files": 0,
+        "delete_files": 0,
+        "deleted_rows": 0,
+    }
+    for task in tasks:  # at most one task: the commit is O(keys) bytes
+        tid = task["task_id"]
+        inputs: list[str] = task["input_files"]
+        intent = log.intent(tid)
+        if log.is_done(tid) or (
+            intent is not None
+            and (
+                commit_landed(table, job_id, tid)
+                or set(intent["output_files"]) <= table.live_delete_paths()
+            )
+        ):
+            rec = log.intent(tid) or intent
+            if not log.is_done(tid):
+                log.mark_done(tid, rec)
+            result["skipped"] += 1
+            result["delete_files"] += len(rec["output_files"])
+            result["deleted_rows"] += rec["deleted_rows"]
+            continue
+        # matched keys from affected files only, pending deletes applied
+        keys = (
+            table.read_files(inputs).where(cond).select("doc_id").distinct()
+        )
+        entries = table.write_delete_files(keys)
+        record = {
+            "task_id": tid,
+            "input_files": inputs,
+            "output_files": [e.path for e in entries],
+            "deleted_rows": sum(e.rows for e in entries),
+        }
+        log.mark_intent(tid, record)
+        if entries:
+            table.commit(
+                "delete-mor",
+                added=[],
+                added_deletes=entries,
+                required_paths=inputs,
+                summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+            )
+        log.mark_done(tid, record)
+        result["delete_files"] += len(entries)
+        result["deleted_rows"] += record["deleted_rows"]
+    return result
 
 
 def update_where(
@@ -553,11 +682,10 @@ def _task_output(
             ins = source.join(matched, key, "left_anti")
         return ins.select(*cols)
 
-    inputs_abs = [table._abs(p) for p in task["input_files"]]
-    survivors = (
-        spark.read.schema(table.schema())
-        .parquet(*inputs_abs)
-        .join(src_keys, key, "left_anti")
+    # read_files applies pending MoR deletes — a merge rewrite's output
+    # takes a fresh seq, so raw-reading would resurrect deleted rows
+    survivors = table.read_files(task["input_files"]).join(
+        src_keys, key, "left_anti"
     )
     if kind == "single":
         # matched updates + inserts in one pass — one commit total

@@ -62,9 +62,33 @@ class CommitConflict(Exception):
     """A concurrent commit invalidated this writer's input files."""
 
 
+def applicable_delete_paths(entry, deletes) -> frozenset:
+    """The equality-delete files that apply to a data file: delete seq
+    strictly greater than the file's seq (rows older than the delete)
+    AND overlapping doc_id range. Shared by the scan-side anti-join
+    grouping and compaction's bin classes (files may only be bin-packed
+    together when this set is identical — then preserving the min
+    member seq cannot change which deletes apply)."""
+    eseq = entry.seq or 0
+    return frozenset(
+        d.path
+        for d in deletes
+        if (d.seq or 0) > eseq
+        and not (
+            d.max_doc_id is not None
+            and entry.min_doc_id is not None
+            and (
+                d.max_doc_id < entry.min_doc_id
+                or d.min_doc_id > entry.max_doc_id
+            )
+        )
+    )
+
+
 @dataclass
 class FileEntry:
-    """One data file tracked in a manifest, with pruning stats."""
+    """One data (or equality-delete) file tracked in a manifest, with
+    pruning stats."""
 
     path: str  # relative to table root
     rows: int
@@ -80,6 +104,13 @@ class FileEntry:
     # z-outlier check from manifest metadata alone (no data pass);
     # None on manifests written before this stat existed
     sum_sq_n_tok: int | None = None
+    # data sequence number (Iceberg's model): the snapshot version at
+    # which the file's ROWS entered the table. Assigned at commit time
+    # when unset; physical rewrites that carry rows 1:1 (compaction)
+    # PRESERVE the min input seq so pending equality deletes still
+    # apply to the rewritten file. None on pre-MoR manifests ⇒ 0.
+    # An equality-delete file applies to data files with seq < its seq.
+    seq: int | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
@@ -98,6 +129,10 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
     quarantine: list[dict[str, Any]] = field(default_factory=list)
     timestamp_ms: int = 0
+    # manifests of EQUALITY-DELETE files (merge-on-read DELETE): each
+    # entry is a doc_id-keyed parquet whose keys are anti-joined out of
+    # data files with seq < the delete's seq at scan time
+    delete_manifests: list[str] = field(default_factory=list)
     # schema AT this snapshot as [[name, ddl, nullable], ...]; None ⇒
     # the base SEQUENCES_SCHEMA (pre-evolution snapshots). Tracked per
     # snapshot so time-travel reads get the historical schema
@@ -180,6 +215,7 @@ class IceMiniTable:
             quarantine=d.get("quarantine", []),
             timestamp_ms=d.get("timestamp_ms", 0),
             schema_ddl=d.get("schema"),
+            delete_manifests=d.get("delete_manifests", []),
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -242,6 +278,7 @@ class IceMiniTable:
                 quarantine=list(parent.quarantine),
                 timestamp_ms=int(time.time() * 1000),
                 schema_ddl=new_schema,
+                delete_manifests=list(parent.delete_manifests),
             )
             if self._try_claim_version(base + 1, snap):
                 return snap
@@ -286,6 +323,7 @@ class IceMiniTable:
                 quarantine=list(parent.quarantine),
                 timestamp_ms=int(time.time() * 1000),
                 schema_ddl=new_schema,
+                delete_manifests=list(parent.delete_manifests),
             )
             if self._try_claim_version(base + 1, snap):
                 return snap
@@ -332,6 +370,17 @@ class IceMiniTable:
     def live_paths(self, version: int | None = None) -> set[str]:
         return {e.path for e in self.live_entries(version)}
 
+    def live_delete_entries(self, version: int | None = None) -> list[FileEntry]:
+        """Live equality-delete files (merge-on-read DELETE)."""
+        snap = self.snapshot(version)
+        out: list[FileEntry] = []
+        for m in snap.delete_manifests:
+            out.extend(self._read_manifest(m))
+        return out
+
+    def live_delete_paths(self, version: int | None = None) -> set[str]:
+        return {e.path for e in self.live_delete_entries(version)}
+
     # ---------------------------------------------------------------- commits
 
     def _try_claim_version(self, version: int, snap: Snapshot) -> bool:
@@ -347,6 +396,7 @@ class IceMiniTable:
             "quarantine": snap.quarantine,
             "timestamp_ms": snap.timestamp_ms,
             "schema": snap.schema_ddl,
+            "delete_manifests": snap.delete_manifests,
         }
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -371,6 +421,8 @@ class IceMiniTable:
         base_version: int | None = None,
         max_retries: int = 20,
         summary_extra: dict[str, Any] | None = None,
+        added_deletes: list[FileEntry] | None = None,
+        removed_delete_paths: Iterable[str] = (),
     ) -> Snapshot:
         """Optimistic commit: new snapshot = parent − removed + added.
 
@@ -382,9 +434,21 @@ class IceMiniTable:
         ``summary_extra`` lands INSIDE the atomic snapshot write (e.g.
         the streaming sink's epoch_id) — there is no window where the
         snapshot exists without its tags.
+
+        Sequence numbers: ``added`` / ``added_deletes`` entries with
+        ``seq=None`` are stamped with the claimed version; entries whose
+        seq is already set (compaction preserving its inputs' min seq)
+        keep it. DANGLING deletes — equality-delete files with no live
+        data file of strictly smaller seq left to apply to — are shed
+        automatically from the new snapshot (metadata-only), so a full
+        rewrite physically materializes pending deletes and drops them.
         """
         removed = set(removed_paths)
+        removed_del = set(removed_delete_paths)
         required = set(required_paths) | removed
+        preset_seq = {
+            id(e) for e in [*added, *(added_deletes or [])] if e.seq is not None
+        }
         base = base_version if base_version is not None else self.current_version()
         for _ in range(max_retries):
             parent = self.snapshot(base)
@@ -395,6 +459,9 @@ class IceMiniTable:
                     f"{operation}: input files no longer live "
                     f"(concurrently rewritten): {missing}"
                 )
+            for e in [*added, *(added_deletes or [])]:
+                if id(e) not in preset_seq:
+                    e.seq = base + 1
             # rewrite manifests: drop removed paths, keep the rest
             new_manifests: list[str] = []
             for m in parent.manifests:
@@ -410,6 +477,34 @@ class IceMiniTable:
             live = [
                 e for m in new_manifests for e in self._read_manifest(m)
             ]
+            # delete manifests: drop explicit removals and deletes gone
+            # dangling (min live data seq >= delete seq ⇒ nothing older
+            # than the delete remains — conservative, ignores key ranges)
+            min_live_seq = min(((e.seq or 0) for e in live), default=None)
+
+            def _dangling(d: FileEntry) -> bool:
+                return min_live_seq is None or min_live_seq >= (d.seq or 0)
+
+            new_del_manifests: list[str] = []
+            shed = 0
+            for m in parent.delete_manifests:
+                entries = self._read_manifest(m)
+                kept = [
+                    d
+                    for d in entries
+                    if d.path not in removed_del and not _dangling(d)
+                ]
+                shed += sum(1 for d in entries if _dangling(d))
+                if len(kept) == len(entries):
+                    new_del_manifests.append(m)
+                elif kept:
+                    new_del_manifests.append(self._write_manifest(kept))
+            fresh_dels = [d for d in (added_deletes or []) if not _dangling(d)]
+            if fresh_dels:
+                new_del_manifests.append(self._write_manifest(fresh_dels))
+            live_dels = [
+                d for m in new_del_manifests for d in self._read_manifest(m)
+            ]
             snap = Snapshot(
                 snapshot_id=base + 1,
                 parent_snapshot_id=parent.snapshot_id,
@@ -421,11 +516,22 @@ class IceMiniTable:
                     "total_files": len(live),
                     "total_rows": sum(e.rows for e in live),
                     "total_tokens": sum(e.token_count for e in live),
+                    **(
+                        {
+                            "added_delete_files": len(added_deletes or []),
+                            "shed_delete_files": shed + len(removed_del),
+                            "total_delete_files": len(live_dels),
+                            "total_delete_rows": sum(d.rows for d in live_dels),
+                        }
+                        if (added_deletes or parent.delete_manifests or removed_del)
+                        else {}
+                    ),
                     **(summary_extra or {}),
                 },
                 quarantine=quarantine or [],
                 timestamp_ms=int(time.time() * 1000),
                 schema_ddl=parent.schema_ddl,  # data commits keep the schema
+                delete_manifests=new_del_manifests,
             )
             if self._try_claim_version(base + 1, snap):
                 return snap
@@ -675,6 +781,60 @@ class IceMiniTable:
             for r in sorted(stat_rows, key=lambda r: r["path"])
         ]
 
+    def write_delete_files(
+        self, keys_df: DataFrame, max_rows_per_file: int = 4_000_000
+    ) -> list[FileEntry]:
+        """Write (uncommitted) EQUALITY-DELETE files: doc_id-keyed
+        parquet under data/ with ``delete-`` names. The caller commits
+        them via ``commit(added_deletes=...)``; at scan time their keys
+        are anti-joined out of data files with seq < the delete's seq.
+
+        One distributed write + O(#delete files) driver-side footer
+        reads for stats (delete files are O(matched keys) — tiny next
+        to the data they suppress; that asymmetry is the whole point of
+        merge-on-read)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        n = keys_df.count()
+        if n == 0:
+            return []
+        prefix = f"delete-{uuid.uuid4().hex}"
+        stage = os.path.join(self.data_dir, f".stage-{prefix}")
+        parts = max(1, -(-n // max_rows_per_file))
+        (
+            keys_df.select("doc_id")
+            .repartition(parts)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        entries: list[FileEntry] = []
+        for i, p in enumerate(
+            sorted(glob.glob(os.path.join(stage, "part-*.parquet")))
+        ):
+            final = os.path.join(self.data_dir, f"{prefix}-{i:05d}.parquet")
+            os.rename(p, final)
+            md = pq.read_metadata(final)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            entries.append(
+                FileEntry(
+                    path=os.path.relpath(final, self.root),
+                    rows=md.num_rows,
+                    token_count=0,
+                    size_bytes=os.path.getsize(final),
+                    min_doc_id=lo,
+                    max_doc_id=hi,
+                )
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
     def append(self, df: DataFrame, target_file_rows: int | None = None) -> Snapshot:
         df = self.align_to_schema(df)
         if target_file_rows:
@@ -707,6 +867,64 @@ class IceMiniTable:
             out.append(e)
         return out
 
+    def _read_with_deletes(
+        self, entries: list[FileEntry], version: int | None = None
+    ) -> DataFrame:
+        """Read the given data-file entries, applying live equality
+        deletes (merge-on-read). A delete applies to a data file iff the
+        delete's seq is strictly greater than the file's seq AND their
+        doc_id ranges can overlap; files are grouped by their applicable
+        delete set so each group is ONE scan + ONE anti-join (group
+        count = distinct delete-generation combos, typically 1–2). The
+        delete side is broadcast when its manifest-known size fits the
+        session threshold — at 10^12-row scale a takedown's key set is
+        tiny, so the anti-join adds no shuffle to the scan."""
+        sch = self.schema(version)
+        if not entries:
+            return self.spark.createDataFrame([], sch)
+        dels = {d.path: d for d in self.live_delete_entries(version)}
+        if not dels:
+            paths = [self._abs(e.path) for e in entries]
+            return self.spark.read.schema(sch).parquet(*paths)
+
+        groups: dict[frozenset, list[FileEntry]] = {}
+        for e in entries:
+            app = applicable_delete_paths(e, list(dels.values()))
+            groups.setdefault(app, []).append(e)
+
+        from ..maintenance.merge import broadcast_threshold_bytes
+
+        thr = broadcast_threshold_bytes(self.spark)
+        key_schema = T.StructType([sch["doc_id"]])
+        parts: list[DataFrame] = []
+        for app, es in groups.items():
+            df = self.spark.read.schema(sch).parquet(
+                *[self._abs(e.path) for e in es]
+            )
+            if app:
+                keys = self.spark.read.schema(key_schema).parquet(
+                    *[self._abs(p) for p in sorted(app)]
+                )
+                if 0 < sum(dels[p].size_bytes for p in app) * 4 <= thr:
+                    keys = F.broadcast(keys)
+                df = df.join(keys, "doc_id", "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_files(
+        self, rel_paths: list[str], version: int | None = None
+    ) -> DataFrame:
+        """Read specific live data files WITH pending equality deletes
+        applied — the reader every physical rewrite (merge, clustering,
+        predicate DML) must use so MoR-deleted rows are never
+        resurrected into fresh-seq output files."""
+        by_path = {e.path: e for e in self.live_entries(version)}
+        entries = [by_path[p] for p in rel_paths if p in by_path]
+        return self._read_with_deletes(entries, version)
+
     def scan(
         self,
         version: int | None = None,
@@ -714,16 +932,13 @@ class IceMiniTable:
         max_n_tok: int | None = None,
         sources: list[str] | None = None,
     ) -> DataFrame:
-        """Snapshot scan with manifest-level file pruning. Residual
-        predicates still applied by the caller (pruning is conservative)."""
+        """Snapshot scan with manifest-level file pruning and
+        merge-on-read delete application. Residual predicates still
+        applied by the caller (pruning is conservative)."""
         entries = self.prune_entries(
             self.live_entries(version), min_n_tok, max_n_tok, sources
         )
-        sch = self.schema(version)  # time travel reads the historical schema
-        if not entries:
-            return self.spark.createDataFrame([], sch)
-        paths = [self._abs(e.path) for e in entries]
-        return self.spark.read.schema(sch).parquet(*paths)
+        return self._read_with_deletes(entries, version)
 
     def canonical_scan(self, version: int | None = None) -> DataFrame:
         """Scan in canonical order (doc_id) — the basis of byte-for-byte
@@ -762,6 +977,12 @@ class IceMiniTable:
                     "incremental scan is append-only (Iceberg "
                     "IncrementalAppendScan semantics) — read the ranges "
                     "on either side of the rewrite instead"
+                )
+            if int(snap.summary.get("added_delete_files", 0)) > 0:
+                raise ValueError(
+                    f"snapshot v{v} ({snap.operation}) added equality-"
+                    "delete files: incremental scan is append-only "
+                    "(merge-on-read deletes make 'rows added' ambiguous)"
                 )
         base_paths = self.live_paths(from_version)
         new_entries = [
@@ -816,13 +1037,38 @@ class IceMiniTable:
                 "max_source": e.max_source,
                 "min_doc_id": e.min_doc_id,
                 "max_doc_id": e.max_doc_id,
+                "seq": e.seq or 0,
             }
             for e in self.live_entries(version)
         ]
         schema = (
             "path string, rows long, token_count long, size_bytes long, "
             "min_n_tok int, max_n_tok int, min_source string, "
-            "max_source string, min_doc_id string, max_doc_id string"
+            "max_source string, min_doc_id string, max_doc_id string, "
+            "seq long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def delete_files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg's ``files`` table restricted to EQUALITY-DELETE files
+        (content=2 in Iceberg terms): one row per live delete file with
+        its key count, size, key range and sequence number — what an
+        operator inspects to decide whether the delete backlog warrants
+        a shedding rewrite."""
+        rows = [
+            {
+                "path": d.path,
+                "deleted_keys": d.rows,
+                "size_bytes": d.size_bytes,
+                "min_doc_id": d.min_doc_id,
+                "max_doc_id": d.max_doc_id,
+                "seq": d.seq or 0,
+            }
+            for d in self.live_delete_entries(version)
+        ]
+        schema = (
+            "path string, deleted_keys long, size_bytes long, "
+            "min_doc_id string, max_doc_id string, seq long"
         )
         return self.spark.createDataFrame(rows, schema)
 
@@ -845,7 +1091,9 @@ class IceMiniTable:
         # O(#files) driver-side stat — the same cost class as expire's
         # reachability walk, and rollback is a rare operator action
         missing = [
-            p for p in sorted(target_paths) if not os.path.exists(self._abs(p))
+            p
+            for p in sorted(target_paths | self.live_delete_paths(version))
+            if not os.path.exists(self._abs(p))
         ]
         if missing:
             raise ValueError(
@@ -873,6 +1121,7 @@ class IceMiniTable:
                 quarantine=list(target.quarantine),
                 timestamp_ms=int(time.time() * 1000),
                 schema_ddl=target.schema_ddl,  # restore the schema too
+                delete_manifests=list(target.delete_manifests),
             )
             if self._try_claim_version(base + 1, snap):
                 return snap
@@ -899,7 +1148,8 @@ class IceMiniTable:
         for v in keep_versions:
             snap = self.snapshot(v)
             retained_manifests.update(snap.manifests)
-            for m in snap.manifests:
+            retained_manifests.update(snap.delete_manifests)
+            for m in [*snap.manifests, *snap.delete_manifests]:
                 retained_files.update(e.path for e in self._read_manifest(m))
             # quarantined files stay on disk for inspection — they are
             # referenced by the snapshot's quarantine metadata, not by a

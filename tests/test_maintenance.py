@@ -798,3 +798,161 @@ def test_merge_zero_insert_source_no_junk_snapshot(spark, tmp_path):
         for s in merge_snaps
     )
     assert t.scan().count() == 1000
+
+
+def test_delete_where_merge_on_read(spark, tmp_path):
+    """Merge-on-read DELETE: the commit is O(matched keys) bytes — no
+    data file rewritten — yet scans return the exact complement; a
+    later re-insert of a deleted key survives (sequence-number
+    ordering); the next clustering rewrite sheds the deletes physically
+    and auto-drops the dangling delete files (metadata-only)."""
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "mor"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=250)
+    data_paths = t.live_paths()
+    data_bytes = sum(e.size_bytes for e in t.live_entries())
+    expect = t.scan().where("NOT coalesce(n_tok % 5 = 0, false)").count()
+
+    r = delete_where(t, "n_tok % 5 = 0", mode="merge_on_read")
+    assert r["mode"] == "merge_on_read" and r["rewritten_files"] == 0
+    assert r["deleted_rows"] == 4000 - expect
+    # O(matches) new bytes, zero data churn
+    assert t.live_paths() == data_paths
+    del_bytes = sum(d.size_bytes for d in t.live_delete_entries())
+    assert 0 < del_bytes < data_bytes / 100
+    # exact complement through the scan
+    assert t.scan().count() == expect
+    assert t.scan().where("n_tok % 5 = 0").count() == 0
+
+    # a key re-inserted AFTER the delete is newer than the delete's
+    # sequence number -> it must survive the anti-join
+    dead = [
+        row["doc_id"]
+        for row in spark.read.parquet(
+            *[t._abs(d.path) for d in t.live_delete_entries()]
+        ).limit(5).collect()
+    ]
+    t.append(generate_sequences(spark, 4000).where(F.col("doc_id").isin(dead)))
+    assert t.scan().where(F.col("doc_id").isin(dead)).count() == 5
+
+    # compaction carries rows 1:1 (min-seq preserved, bins grouped by
+    # applicable-delete class) -> deletes still apply, re-inserts survive
+    compact_table(t, target_bytes=64 * 1024 * 1024)
+    assert t.scan().count() == expect + 5
+    assert t.scan().where("n_tok % 5 = 0").count() == 5  # only re-inserts
+
+    # the clustering rewrite materializes the deletes and sheds the
+    # delete files; physical row count now equals the logical one
+    rewrite_sorted(t, method="zorder", target_rows_per_file=1000)
+    assert t.scan().count() == expect + 5
+    assert len(t.live_delete_entries()) == 0
+    raw = spark.read.schema(t.schema()).parquet(
+        *[t._abs(e.path) for e in t.live_entries()]
+    )
+    assert raw.count() == expect + 5
+
+
+def test_mor_delete_time_travel_and_metadata(spark, tmp_path):
+    """Time travel reads the delete state AT the snapshot; the
+    delete_files_df metadata table exposes the live delete backlog."""
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "morttt"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+    v_before = t.current_version()
+    n_before = t.scan().count()
+    delete_where(t, "n_tok % 3 = 0", mode="merge_on_read")
+    v_after = t.current_version()
+
+    assert t.scan(v_before).count() == n_before  # pre-delete snapshot
+    assert t.scan(v_after).where("n_tok % 3 = 0").count() == 0
+    dfd = t.delete_files_df()
+    assert dfd.count() == len(t.live_delete_entries()) > 0
+    row = dfd.collect()[0]
+    assert row["deleted_keys"] > 0 and row["seq"] == v_after
+
+    # incremental scan crossing the delete snapshot is ambiguous
+    with pytest.raises(ValueError, match="delete"):
+        t.incremental_scan(v_before)
+
+
+def test_mor_delete_conflict_and_resume(spark, tmp_path, monkeypatch):
+    """The MoR delete's commit must CONFLICT with a concurrent rewrite
+    of its affected files (the rewrite bumps those rows past the
+    delete's seq — committing anyway would silently lose the delete);
+    and a crash between commit and ack resumes without duplicating
+    delete files."""
+    from datalakequality_spark.maintenance.merge import delete_where
+    from datalakequality_spark.sources.icemini import CommitConflict
+
+    t = IceMiniTable.create(spark, str(tmp_path / "morc"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+
+    orig = IceMiniTable.write_delete_files
+    fired = {"done": False}
+
+    def hooked(self, df, *a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(IceMiniTable, "write_delete_files", orig)
+            compact_table(t, target_bytes=64 * 1024 * 1024)
+        return orig(self, df, *a, **k)
+
+    monkeypatch.setattr(IceMiniTable, "write_delete_files", hooked)
+    with pytest.raises(CommitConflict):
+        delete_where(t, "n_tok % 2 = 0", mode="merge_on_read")
+    assert len(t.live_delete_entries()) == 0  # nothing landed
+    assert t.scan().where("n_tok % 2 = 0").count() > 0
+
+    # crash-resume: die between commit and done, rerun same job_id
+    expect = t.scan().where("NOT coalesce(n_tok % 2 = 0, false)").count()
+    real_mark_done = JobLog.mark_done
+
+    def dying(self, task_id, record):
+        raise RuntimeError("crash post-commit")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        delete_where(t, "n_tok % 2 = 0", mode="merge_on_read", job_id="mor-res")
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+    n_delfiles = len(t.live_delete_entries())
+    r = delete_where(t, "n_tok % 2 = 0", mode="merge_on_read", job_id="mor-res")
+    assert r["skipped"] == 1
+    assert len(t.live_delete_entries()) == n_delfiles  # not re-applied
+    assert t.scan().count() == expect
+
+
+def test_mor_delete_survives_expire_and_rollback(spark, tmp_path):
+    """Snapshot GC retains live delete files/manifests; rollback across
+    a MoR delete restores the pre-delete logical content."""
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "morgc"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+    n0 = t.scan().count()
+    v_pre = t.current_version()
+    delete_where(t, "n_tok % 4 = 0", mode="merge_on_read")
+    n1 = t.scan().count()
+    t.append(generate_sequences(spark, 100, start_id=70_000))
+
+    t.expire_snapshots(keep_last=2)  # pre-delete snapshot expired
+    assert t.scan().count() == n1 + 100  # delete files retained by GC
+    assert all(
+        os.path.exists(t._abs(d.path)) for d in t.live_delete_entries()
+    )
+
+    # rolling back to an EXPIRED snapshot raises (its metadata is gone)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.rollback_to(v_pre)
+
+    # rollback across the MoR delete restores pre-delete logical content
+    t2 = IceMiniTable.create(spark, str(tmp_path / "morrb"))
+    t2.append(generate_sequences(spark, 500), target_file_rows=250)
+    v0 = t2.current_version()
+    n_all = t2.scan().count()
+    delete_where(t2, "n_tok % 4 = 0", mode="merge_on_read")
+    assert t2.scan().count() < n_all
+    t2.rollback_to(v0)
+    assert t2.scan().count() == n_all  # delete set restored to empty
