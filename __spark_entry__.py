@@ -798,11 +798,15 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("embedding"),
         )
     )
-    both = emb.unionByName(planted)
     root = _seq_table_tmpdir("dlq-ivf-q-")
+    # lifecycle path: build on the base corpus, then APPEND the planted
+    # batch (cells assigned under the existing codebook, O(batch) new
+    # files, zero rebuild) — the probe must find neighbors from both
+    # generations for the oracle hash to match
     idx = AnnIvfIndex.build(
-        spark, both, "vec_id", "embedding", root, n_centroids=16
+        spark, emb, "vec_id", "embedding", root, n_centroids=16
     )
+    idx.append(planted)
     return idx.topk(query, k=10, n_probe=6)
 
 

@@ -70,40 +70,6 @@ def plan_bins(
     return out
 
 
-def _strip_uri(p: str) -> str:
-    return p[7:] if p.startswith("file://") else (p[5:] if p.startswith("file:") else p)
-
-
-def _merge_stats(members: list[FileEntry], path: str, size_bytes: int) -> FileEntry:
-    """Output-file stats derived from the member manifest entries — the
-    compacted file contains exactly the member rows, so rows/tokens sum
-    and min/max compose (min of mins, max of maxes); no stats re-scan.
-
-    The output PRESERVES the members' minimum data sequence number
-    (Iceberg RewriteDataFiles semantics): compaction carries rows 1:1
-    without applying pending equality deletes — keeping the oldest seq
-    means those deletes still apply to the compacted file at scan time,
-    so no MoR-deleted row is ever resurrected by a pure bin-pack."""
-
-    def _mm(fn, vals):
-        vals = [v for v in vals if v is not None]
-        return fn(vals) if len(vals) == len(members) else None
-
-    return FileEntry(
-        path=path,
-        rows=sum(e.rows for e in members),
-        token_count=sum(e.token_count for e in members),
-        size_bytes=size_bytes,
-        min_n_tok=_mm(min, [e.min_n_tok for e in members]),
-        max_n_tok=_mm(max, [e.max_n_tok for e in members]),
-        min_source=_mm(min, [e.min_source for e in members]),
-        max_source=_mm(max, [e.max_source for e in members]),
-        min_doc_id=_mm(min, [e.min_doc_id for e in members]),
-        max_doc_id=_mm(max, [e.max_doc_id for e in members]),
-        seq=min((e.seq or 0) for e in members),
-    )
-
-
 def rewrite_bins(
     table: IceMiniTable,
     bins: list[list[FileEntry]],
@@ -114,14 +80,19 @@ def rewrite_bins(
     as Iceberg's RewriteDataFiles file groups).
 
     No shuffle: a bin's rows only ever move from its member files into
-    its one output file, so ``coalesce(1)`` over the member files is the
-    whole plan. Output stats come from `_merge_stats` (manifest algebra,
-    zero extra scans). Concurrency = min(#bins, cores) single-task jobs
-    keeps every core busy; on a multi-executor cluster raise
-    ``max_concurrency`` to the cluster's total task slots.
-    """
-    import glob as _glob
-    import shutil
+    its one output file, so ``coalesce(1)`` over the member files into
+    the streaming writer (``write_data_files``) is the whole plan —
+    stats AND the key-Bloom sidecar are computed from the same Arrow
+    stream the writer is already consuming, no extra pass. Concurrency
+    = min(#bins, cores) single-task jobs keeps every core busy; on a
+    multi-executor cluster raise ``max_concurrency`` to the cluster's
+    total task slots.
+
+    The output PRESERVES the members' minimum data sequence number
+    (Iceberg RewriteDataFiles semantics): compaction carries rows 1:1
+    without applying pending equality deletes — keeping the oldest seq
+    means those deletes still apply to the compacted file at scan time,
+    so no MoR-deleted row is ever resurrected by a pure bin-pack."""
     from concurrent.futures import ThreadPoolExecutor
 
     spark = table.spark
@@ -131,21 +102,14 @@ def rewrite_bins(
 
     def one(b: int, members: list[FileEntry]) -> FileEntry:
         paths = [os.path.join(table.root, e.path) for e in members]
-        stage = os.path.join(table.data_dir, f".stage-{prefix}-{b:05d}")
-        (
+        df = (
             spark.read.schema(table.schema())  # evolved columns survive
             .parquet(*paths)
             .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
         )
-        part = sorted(_glob.glob(os.path.join(stage, "part-*.parquet")))[0]
-        final = os.path.join(table.data_dir, f"{prefix}-{b:05d}.parquet")
-        os.rename(part, final)
-        shutil.rmtree(stage, ignore_errors=True)
-        return _merge_stats(
-            members, os.path.relpath(final, table.root), os.path.getsize(final)
-        )
+        [entry] = table.write_data_files(df, prefix=f"{prefix}-{b:05d}")
+        entry.seq = min((e.seq or 0) for e in members)
+        return entry
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         return list(ex.map(lambda ib: one(*ib), enumerate(bins)))

@@ -129,15 +129,18 @@ def merge_into(
     if 0 < est_bytes <= thr_bytes:
         src_keys = F.broadcast(src_keys)
 
+    discovery: dict[str, int] = {}
     tasks = log.load_plan()
     if tasks is None:
         tasks = _plan_merge(
-            table, src_keys, kstats, keys_dir, max_batch_files
+            table, src_keys, kstats, keys_dir, max_batch_files,
+            key=key, discovery=discovery,
         )
         log.write_plan(tasks)
 
     result: dict[str, Any] = {
         "job_id": job_id,
+        "discovery": discovery,  # empty on a resumed (pre-planned) job
         "tasks": 0,
         "skipped": 0,
         "input_files": [],
@@ -582,12 +585,83 @@ def update_where(
     return r
 
 
+def bloom_prune_candidates(
+    table: IceMiniTable,
+    candidates: list[FileEntry],
+    src_keys: DataFrame,
+    key: str,
+    n_src: int,
+    max_probe_keys: int = 500_000,
+) -> list[FileEntry]:
+    """Key-existence pruning over the per-file Bloom sidecars
+    (``sources/keybloom.py``): drop candidate files none of whose keys
+    can match any source key. This is what makes point-lookup merges
+    cheap on UNCLUSTERED tables, where per-file doc_id min/max prunes
+    nothing (uniform-random keys ⇒ every file spans the full range):
+    the probe reads ~100 KB of sidecar per file instead of the file's
+    key column, and the exact discovery scan then runs on the survivors
+    only. Conservative on every axis: files without a sidecar (pre-bloom
+    manifests, external writers, corrupt sidecar) are kept; Bloom false
+    positives are re-verified by the discovery scan; sources beyond
+    ``max_probe_keys`` skip the probe (a bulk merge touches most files
+    anyway, and its key set is too big to collect).
+
+    Hashing is Spark's ``xxhash64`` on BOTH sides (the writer feeds the
+    sidecar from a JVM-computed ``__keyhash`` column), so Python never
+    hashes a key. The probe itself is one Spark job over the sidecar
+    paths — O(#candidate files) tasks reading O(sidecar) bytes each."""
+    if key != "doc_id" or n_src > max_probe_keys:
+        return candidates
+    with_bloom = [e for e in candidates if e.key_bloom]
+    if not with_bloom:
+        return candidates
+    spark = table.spark
+    import numpy as np
+
+    hashes = (
+        src_keys.select(F.xxhash64(key).alias("h"))
+        .toPandas()["h"]
+        .to_numpy(dtype=np.int64)
+    )
+    bc = spark.sparkContext.broadcast(hashes)
+    root = table.root
+
+    def _probe(batches):
+        import os as _os
+
+        import pandas as _pd
+
+        from datalakequality_spark.sources import keybloom as kb
+
+        h = bc.value
+        for pdf in batches:
+            maybe = [
+                kb.probe_any(kb.load(_os.path.join(root, bp)), h)
+                for bp in pdf["bloom"]
+            ]
+            yield _pd.DataFrame({"path": pdf["path"], "maybe": maybe})
+
+    cdf = spark.createDataFrame(
+        [(e.path, e.key_bloom) for e in with_bloom], "path string, bloom string"
+    ).repartition(min(len(with_bloom), 64))
+    kept = {
+        r["path"]
+        for r in cdf.mapInPandas(_probe, "path string, maybe boolean")
+        .where("maybe")
+        .collect()
+    }
+    bc.unpersist()
+    return [e for e in candidates if not e.key_bloom or e.path in kept]
+
+
 def _plan_merge(
     table: IceMiniTable,
     src_keys: DataFrame,
     kstats,
     keys_dir: str,
     max_batch_files: int | None,
+    key: str = "doc_id",
+    discovery: dict[str, int] | None = None,
 ) -> list[dict[str, Any]]:
     """Discover affected files and pin the task plan.
 
@@ -607,10 +681,19 @@ def _plan_merge(
         or kstats["lo"] is None
         or not (e.max_doc_id < kstats["lo"] or e.min_doc_id > kstats["hi"])
     ]
+    n_minmax = len(candidates)
+    candidates = bloom_prune_candidates(
+        table, candidates, src_keys, key, int(kstats["n"])
+    )
+    if discovery is not None:
+        discovery.update(
+            live_files=len(entries),
+            candidates_minmax=n_minmax,
+            candidates_bloom=len(candidates),
+        )
     if not candidates:
         return [{"task_id": "inserts", "input_files": [], "kind": "inserts"}]
 
-    key = src_keys.columns[0]
     cand_abs = [table._abs(e.path) for e in candidates]
     tgt = (
         spark.read.schema(table.schema())

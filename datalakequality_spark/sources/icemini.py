@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import keybloom
+
 SEQUENCES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -111,6 +113,11 @@ class FileEntry:
     # apply to the rewritten file. None on pre-MoR manifests ⇒ 0.
     # An equality-delete file applies to data files with seq < its seq.
     seq: int | None = None
+    # relative path of the file's key-existence sidecar (split-block
+    # Bloom over xxhash64(doc_id), sources/keybloom.py) — None on files
+    # written before the sketch existed or by external writers; probes
+    # treat missing sidecars as "maybe" so pruning stays conservative
+    key_bloom: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return asdict(self)
@@ -628,7 +635,7 @@ class IceMiniTable:
             "path string, rows long, token_count long, sum_sq_n_tok long, "
             "size_bytes long, "
             "min_n_tok int, max_n_tok int, min_source string, max_source string, "
-            "min_doc_id string, max_doc_id string"
+            "min_doc_id string, max_doc_id string, key_bloom string"
         )
 
         def _write(batches):
@@ -639,6 +646,8 @@ class IceMiniTable:
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from pyspark import TaskContext
+
+            from datalakequality_spark.sources import keybloom
 
             ctx = TaskContext.get()
             attempt = ctx.taskAttemptId()
@@ -655,6 +664,7 @@ class IceMiniTable:
                     ("max_source", pa.string()),
                     ("min_doc_id", pa.string()),
                     ("max_doc_id", pa.string()),
+                    ("key_bloom", pa.string()),
                 ]
             )
             results: list[dict] = []
@@ -673,6 +683,7 @@ class IceMiniTable:
                     "rows": 0,
                     "token_count": 0,
                     "sum_sq": 0,
+                    "hashes": [],
                     "mins": {"n_tok": None, "source": None, "doc_id": None},
                     "maxs": {"n_tok": None, "source": None, "doc_id": None},
                 }
@@ -688,9 +699,10 @@ class IceMiniTable:
                 st["writer"].write_table(tbl)
                 st["buf"], st["buffered"] = [], 0
 
-            def _feed(st: dict, batch) -> None:
+            def _feed(st: dict, batch, h_np) -> None:
                 if batch.num_rows == 0:
                     return
+                st["hashes"].append(h_np)
                 st["rows"] += batch.num_rows
                 st["token_count"] += pc.sum(batch.column("n_tok")).as_py() or 0
                 nt64 = pc.cast(batch.column("n_tok"), pa.int64())
@@ -718,6 +730,14 @@ class IceMiniTable:
                 if st["writer"] is None:
                     return
                 st["writer"].close()
+                # sidecar lands BEFORE the data file's rename, so a
+                # live data file always has its sketch; a crash in
+                # between leaves an orphan .bloom the GC sweeps
+                bloom = keybloom.write_sidecar(
+                    st["final"],
+                    np.concatenate(st["hashes"]) if st["hashes"] else [],
+                    attempt,
+                )
                 _os.rename(st["tmp"], st["final"])
                 results.append(
                     {
@@ -732,21 +752,24 @@ class IceMiniTable:
                         "max_source": st["maxs"]["source"],
                         "min_doc_id": st["mins"]["doc_id"],
                         "max_doc_id": st["maxs"]["doc_id"],
+                        "key_bloom": bloom,
                     }
                 )
 
             for batch in batches:
                 if batch.num_rows == 0:
                     continue
-                if split_col is None:
-                    if cur is None:
-                        cur = _open(ctx.partitionId())
-                    _feed(cur, batch)
-                    continue
-                g = batch.column(split_col).to_numpy(zero_copy_only=False)
+                # __keyhash feeds the sidecar sketch only — never written
+                h = batch.column("__keyhash").to_numpy(zero_copy_only=False)
                 data = pa.RecordBatch.from_arrays(
                     [batch.column(n) for n in data_names], names=data_names
                 )
+                if split_col is None:
+                    if cur is None:
+                        cur = _open(ctx.partitionId())
+                    _feed(cur, data, h)
+                    continue
+                g = batch.column(split_col).to_numpy(zero_copy_only=False)
                 cuts = np.flatnonzero(g[1:] != g[:-1]) + 1
                 starts = np.concatenate(([0], cuts))
                 ends = np.concatenate((cuts, [len(g)]))
@@ -756,14 +779,18 @@ class IceMiniTable:
                         if cur is not None:
                             _close(cur)
                         cur = _open(grp)
-                    _feed(cur, data.slice(s, e - s))
+                    _feed(cur, data.slice(s, e - s), h[s:e])
             if cur is not None:
                 _close(cur)
             if results:
                 yield pa.RecordBatch.from_pylist(results, schema=out_schema)
 
-        cols = data_names + ([split_col] if split_col else [])
-        stat_rows = df.select(*cols).mapInArrow(_write, stats_schema).collect()
+        cols = [*data_names, *([split_col] if split_col else [])]
+        stat_rows = (
+            df.select(*cols, F.xxhash64("doc_id").alias("__keyhash"))
+            .mapInArrow(_write, stats_schema)
+            .collect()
+        )
         return [
             FileEntry(
                 path=os.path.relpath(r["path"], root),
@@ -777,6 +804,7 @@ class IceMiniTable:
                 min_doc_id=r["min_doc_id"],
                 max_doc_id=r["max_doc_id"],
                 sum_sq_n_tok=int(r["sum_sq_n_tok"] or 0),
+                key_bloom=os.path.relpath(r["key_bloom"], root),
             )
             for r in sorted(stat_rows, key=lambda r: r["path"])
         ]
@@ -1171,6 +1199,17 @@ class IceMiniTable:
             if rel not in retained_files:
                 os.remove(p)
                 deleted_files.append(rel)
+        # key-bloom sidecars live and die with their data file — sweep
+        # any whose data file is not retained (covers both expired files
+        # and the crash window where a sidecar landed but its data
+        # file's rename never happened)
+        for p in glob.glob(os.path.join(self.data_dir, "*.parquet.bloom")):
+            rel = os.path.relpath(p, self.root)
+            if rel[: -len(".bloom")] not in retained_files:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         for p in glob.glob(os.path.join(self.meta_dir, "manifest-*.json")):
             if os.path.basename(p) not in retained_manifests:
                 os.remove(p)
