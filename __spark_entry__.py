@@ -696,6 +696,66 @@ def q_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iceberg-style conditional MERGE in the correctness gate:
+    # WHEN MATCHED AND s.n_tok > t.n_tok THEN UPDATE SET ... /
+    # WHEN MATCHED AND t.n_tok % 5 = 0 THEN DELETE /
+    # WHEN NOT MATCHED AND n_tok % 3 != 0 THEN INSERT — first-true
+    # clause per row, through the real table path with the BATCHED
+    # commit plan (max_batch_files=4 at gate scale), so batched
+    # conditional content must equal the plain-SQL merge semantics.
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 4967) % 389 + 1, 17, F.col("source")
+    )
+    updates = _mk(
+        d.where(F.col("doc_id") % 2 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 3571) % 389 + 1,
+        23,
+        F.col("source"),
+    )
+    inserts = _mk(
+        d.where(F.col("doc_id") < 40),
+        F.col("doc_id") + 2_000_000,
+        F.col("doc_id") % 89 + 1,
+        29,
+        F.lit("new"),
+    )
+    root = _seq_table_tmpdir("dlq-mergecond-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    merge_into(
+        t,
+        updates.unionByName(inserts),
+        max_batch_files=4,
+        matched=[
+            {
+                "action": "update",
+                "condition": "s.n_tok > t.n_tok",
+                "set": {
+                    "n_tok": "s.n_tok",
+                    "tokens": "s.tokens",
+                    "source": "'upgraded'",
+                },
+            },
+            {"action": "delete", "condition": "t.n_tok % 5 = 0"},
+        ],
+        not_matched_condition="n_tok % 3 != 0",
+    )
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Copy-on-write UPDATE in the correctness gate: predicate-addressed
     # SET (re-tag matching rows' source) through the real table path —
@@ -865,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_rewrite": q_maintain_rewrite,
         "delete_where": q_delete_where,
         "delete_where_mor": q_delete_where_mor,
+        "merge_conditional": q_merge_conditional,
         "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
         "ivf_ann": q_ivf_ann,
@@ -1342,6 +1403,47 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt WHERE NOT (n_tok % 6 = 0)
+        """,
+        "merge_conditional": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 4967) % 389 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 17 AS mult
+              FROM documents
+            ), src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 3571) % 389 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 23 AS mult
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 2000000 AS VARCHAR),
+                     doc_id % 89 + 1, 'new', doc_id + 2000000, 29
+              FROM documents WHERE doc_id < 40
+            ), merged AS (
+              -- unmatched target rows pass through
+              SELECT t.doc_id, t.n_tok, t.source, t.raw_id, t.mult
+              FROM tgt t WHERE t.doc_id NOT IN (SELECT doc_id FROM src)
+              UNION ALL
+              -- clause 1 fires: conditional update
+              SELECT t.doc_id, s.n_tok, 'upgraded', t.raw_id, s.mult
+              FROM tgt t JOIN src s USING (doc_id) WHERE s.n_tok > t.n_tok
+              UNION ALL
+              -- neither clause fires: unchanged (clause 2 = DELETE drops
+              -- the t.n_tok % 5 = 0 rows entirely)
+              SELECT t.doc_id, t.n_tok, t.source, t.raw_id, t.mult
+              FROM tgt t JOIN src s USING (doc_id)
+              WHERE NOT (s.n_tok > t.n_tok) AND NOT (t.n_tok % 5 = 0)
+              UNION ALL
+              -- conditional inserts
+              SELECT s.doc_id, s.n_tok, s.source, s.raw_id, s.mult
+              FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM tgt)
+                AND s.n_tok % 3 != 0
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM merged
         """,
         "update_where": """
             WITH tgt AS (

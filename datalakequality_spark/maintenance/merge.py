@@ -75,6 +75,35 @@ def _chunk(items: list, size: int) -> list[list]:
 _FILE_NORM = "replace(replace(input_file_name(), 'file://', ''), 'file:', '')"
 
 
+def _validate_clauses(
+    matched: list[dict[str, Any]] | None,
+) -> list[dict[str, Any]] | None:
+    """Normalize/validate WHEN MATCHED clauses: ordered list of
+    ``{"action": "update"|"delete", "condition": SQL|None,
+    "set": {col: SQL}|None}``. Conditions and set expressions may
+    reference the target as ``t.<col>`` and the source as ``s.<col>``
+    and are evaluated against the PRE-merge row (standard SQL MERGE:
+    all set expressions see the original values). ``set=None`` on an
+    update means ``SET *`` (replace every column from the source)."""
+    if matched is None:
+        return None
+    out = []
+    for c in matched:
+        action = c.get("action")
+        if action not in ("update", "delete"):
+            raise ValueError(f"matched clause action must be update|delete: {c!r}")
+        if action == "delete" and c.get("set"):
+            raise ValueError(f"a DELETE clause cannot carry set=: {c!r}")
+        out.append(
+            {
+                "action": action,
+                "condition": c.get("condition"),
+                "set": dict(c["set"]) if c.get("set") else None,
+            }
+        )
+    return out
+
+
 def merge_into(
     table: IceMiniTable,
     source: DataFrame,
@@ -83,8 +112,23 @@ def merge_into(
     job_id: str | None = None,
     max_batch_files: int | None = 256,
     max_concurrent_batches: int = 4,
+    matched: list[dict[str, Any]] | None = None,
+    not_matched_condition: str | None = None,
 ) -> dict[str, Any]:
+    """MERGE INTO with optional Iceberg-style conditional clauses.
+
+    Default (``matched=None``): ``WHEN MATCHED THEN UPDATE SET * WHEN
+    NOT MATCHED THEN INSERT *`` — the replace-row fast path. With
+    ``matched=[...]`` (see ``_validate_clauses``), clauses are evaluated
+    IN ORDER per matched target row; the first clause whose condition
+    is TRUE fires (NULL conditions do not fire — SQL three-valued
+    logic); a matched row firing no clause is carried unchanged.
+    ``not_matched_condition`` filters which unmatched source rows are
+    inserted (``s.<col>`` or bare columns). Affected-file discovery is
+    clause-agnostic (any file holding a matched key is rewritten, even
+    if no clause fires on its rows) — conservative, never wrong."""
     spark = table.spark
+    matched = _validate_clauses(matched)
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
     log = JobLog(table.root, job_id)
     keys_dir = os.path.join(log.dir, "matched_keys")
@@ -190,7 +234,8 @@ def merge_into(
             return None
 
         rewritten = _task_output(
-            spark, table, task, source, src_keys, key, keys_dir
+            spark, table, task, source, src_keys, key, keys_dir,
+            matched=matched, not_matched_condition=not_matched_condition,
         )
         new_entries: list[FileEntry] = (
             table.write_data_files(rewritten) if rewritten is not None else []
@@ -745,6 +790,60 @@ def _plan_merge(
     return tasks
 
 
+def _conditional_file_rewrite(
+    table: IceMiniTable,
+    input_files: list[str],
+    source: DataFrame,
+    key: str,
+    clauses: list[dict[str, Any]],
+) -> DataFrame:
+    """Rewrite one task's files under WHEN MATCHED clauses: a left join
+    of the files' rows against the source (aliases ``t``/``s``), a
+    first-true-clause selector, then one CASE per output column. All
+    set expressions read the PRE-merge ``t.*``/``s.*`` values (SQL
+    MERGE semantics). Unmatched and no-clause-fired rows pass through
+    verbatim. One join + projection — no extra shuffle beyond the join
+    itself, which AQE sizes (the source is persisted and typically
+    broadcast-able after filtering)."""
+    cols = table.schema().fieldNames()
+    tgt = table.read_files(input_files).alias("t")
+    src = source.withColumn("__s_present", F.lit(True)).alias("s")
+    j = tgt.join(src, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
+
+    is_matched = F.col("__s_present").isNotNull()
+    fired = None
+    for i, c in enumerate(clauses):
+        cond = is_matched
+        if c["condition"] is not None:
+            cond = cond & F.expr(c["condition"])
+        fired = F.when(cond, i) if fired is None else fired.when(cond, i)
+    j = j.withColumn(
+        "__fired", fired.otherwise(F.lit(-1)) if fired is not None else F.lit(-1)
+    )
+
+    delete_idx = [i for i, c in enumerate(clauses) if c["action"] == "delete"]
+    if delete_idx:
+        j = j.where(~F.col("__fired").isin(delete_idx))
+
+    out_cols = []
+    for col in cols:
+        case = None
+        for i, c in enumerate(clauses):
+            if c["action"] != "update":
+                continue
+            if c["set"] is None:  # SET *
+                val = F.col(f"s.{col}")
+            elif col in c["set"]:
+                val = F.expr(c["set"][col])
+            else:
+                val = F.col(f"t.{col}")
+            hit = F.col("__fired") == i
+            case = F.when(hit, val) if case is None else case.when(hit, val)
+        expr = case.otherwise(F.col(f"t.{col}")) if case is not None else F.col(f"t.{col}")
+        out_cols.append(expr.alias(col))
+    return j.select(*out_cols)
+
+
 def _task_output(
     spark: SparkSession,
     table: IceMiniTable,
@@ -753,6 +852,8 @@ def _task_output(
     src_keys: DataFrame,
     key: str,
     keys_dir: str,
+    matched: list[dict[str, Any]] | None = None,
+    not_matched_condition: str | None = None,
 ) -> DataFrame | None:
     """The rows a merge task writes (None ⇒ nothing to write, commit is
     a pure file-removal/no-op)."""
@@ -761,9 +862,32 @@ def _task_output(
     if kind == "inserts":
         ins = source
         if os.path.isdir(keys_dir):
-            matched = spark.read.parquet(keys_dir).select(key)
-            ins = source.join(matched, key, "left_anti")
+            seen = spark.read.parquet(keys_dir).select(key)
+            ins = source.join(seen, key, "left_anti")
+        if not_matched_condition is not None:
+            ins = ins.alias("s").where(F.expr(not_matched_condition))
         return ins.select(*cols)
+
+    if matched is not None:
+        # conditional-clause path: a per-row join+CASE rewrite of this
+        # task's files — each target row lives in exactly one file, so
+        # batched tasks need no key→batch coordination for updates
+        # (only inserts do, via the trailing inserts task above)
+        rewritten = _conditional_file_rewrite(
+            table, task["input_files"], source, key, matched
+        )
+        if kind != "single":
+            return rewritten
+        # single-commit plan has no trailing inserts task: fold in the
+        # source rows matching no target key (discovery guarantees every
+        # file holding a matched key is in input_files, so an anti-join
+        # against these files' keys IS the table-wide unmatched set)
+        ins = source.join(
+            table.read_files(task["input_files"]).select(key), key, "left_anti"
+        )
+        if not_matched_condition is not None:
+            ins = ins.alias("s").where(F.expr(not_matched_condition))
+        return rewritten.unionByName(ins.select(*cols))
 
     # read_files applies pending MoR deletes — a merge rewrite's output
     # takes a fresh seq, so raw-reading would resurrect deleted rows

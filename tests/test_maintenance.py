@@ -956,3 +956,116 @@ def test_mor_delete_survives_expire_and_rollback(spark, tmp_path):
     assert t2.scan().count() < n_all
     t2.rollback_to(v0)
     assert t2.scan().count() == n_all  # delete set restored to empty
+
+
+def _conditional_expected(spark, t, src, clauses_insert_cond=True):
+    """Reference result for the conditional-merge tests, computed with
+    plain DataFrame ops (no merge machinery)."""
+    tgt = t.scan().alias("t")
+    s = src.alias("s")
+    j = tgt.join(s, F.col("t.doc_id") == F.col("s.doc_id"), "left")
+    upgraded = F.col("s.doc_id").isNotNull() & (F.col("s.n_tok") > F.col("t.n_tok"))
+    deleted = (
+        F.col("s.doc_id").isNotNull()
+        & ~F.coalesce(F.col("s.n_tok") > F.col("t.n_tok"), F.lit(False))
+        & (F.col("t.n_tok") % 5 == 0)
+    )
+    kept = j.where(~deleted).select(
+        F.col("t.doc_id").alias("doc_id"),
+        F.when(upgraded, F.col("s.tokens")).otherwise(F.col("t.tokens")).alias("tokens"),
+        F.when(upgraded, F.col("s.n_tok")).otherwise(F.col("t.n_tok")).alias("n_tok"),
+        F.when(upgraded, F.lit("upgraded")).otherwise(F.col("t.source")).alias("source"),
+    )
+    ins = src.join(t.scan().select("doc_id"), "doc_id", "left_anti")
+    if clauses_insert_cond:
+        ins = ins.where("n_tok % 3 != 0")
+    return kept.unionByName(ins.select("doc_id", "tokens", "n_tok", "source"))
+
+
+_COND_CLAUSES = [
+    {"action": "update", "condition": "s.n_tok > t.n_tok",
+     "set": {"n_tok": "s.n_tok", "tokens": "s.tokens", "source": "'upgraded'"}},
+    {"action": "delete", "condition": "t.n_tok % 5 = 0"},
+]
+
+
+def _df_hash(df) -> int:
+    return (
+        df.agg(
+            F.sum(
+                F.pmod(F.xxhash64("doc_id", "tokens", "n_tok", "source"), F.lit(2**31))
+            )
+        ).collect()[0][0]
+        or 0
+    )
+
+
+def test_merge_conditional_clauses(spark, tmp_path):
+    """WHEN MATCHED AND cond THEN UPDATE SET col=expr / THEN DELETE and
+    conditional NOT MATCHED inserts: first-true clause fires per row,
+    non-firing matched rows pass through verbatim, and the result equals
+    a plain-DataFrame reference computation."""
+    t = IceMiniTable.create(spark, str(tmp_path / "cm"))
+    t.append(generate_sequences(spark, 3000), target_file_rows=400)
+    # perturb the source n_tok so the ">" clause fires on ~half the
+    # matches (the generator reproduces the target's n_tok verbatim)
+    src = generate_merge_batch(spark, 3000, insert_rows=300).withColumn(
+        "n_tok",
+        (F.col("n_tok") + F.pmod(F.xxhash64("doc_id"), F.lit(7)) - 3).cast("int"),
+    )
+    expect = _conditional_expected(spark, t, src)
+    exp_hash, exp_n = _df_hash(expect), expect.count()
+
+    r = merge_into(
+        t, src, matched=_COND_CLAUSES, not_matched_condition="n_tok % 3 != 0"
+    )
+    assert r["matched_files"] > 0
+    assert t.scan().count() == exp_n
+    assert _df_hash(t.scan()) == exp_hash
+    # some rows really were upgraded / deleted / conditionally inserted
+    assert t.scan().where("source = 'upgraded'").count() > 0
+    assert t.scan().where("source = 'new' AND n_tok % 3 = 0").count() == 0
+
+
+def test_merge_conditional_batched_equals_single(spark, tmp_path):
+    """The batched commit path produces identical content to the
+    single-commit path under conditional clauses (incl. DELETE)."""
+    t1 = IceMiniTable.create(spark, str(tmp_path / "cb1"))
+    t1.append(generate_sequences(spark, 3000), target_file_rows=400)
+    t2 = IceMiniTable.create(spark, str(tmp_path / "cb2"))
+    t2.append(generate_sequences(spark, 3000), target_file_rows=400)
+    src = generate_merge_batch(spark, 3000, insert_rows=300)
+
+    merge_into(t1, src, max_batch_files=None, matched=_COND_CLAUSES,
+               not_matched_condition="n_tok % 3 != 0")
+    r2 = merge_into(t2, src, max_batch_files=2, matched=_COND_CLAUSES,
+                    not_matched_condition="n_tok % 3 != 0")
+    assert t2.current_version() > 2  # really took the batched path
+    assert r2["matched_files"] > 2
+    assert _content_hash(t1) == _content_hash(t2)
+
+
+def test_merge_conditional_validation(spark, tmp_path):
+    t = IceMiniTable.create(spark, str(tmp_path / "cv"))
+    t.append(generate_sequences(spark, 100))
+    src = generate_merge_batch(spark, 100, insert_rows=10)
+    with pytest.raises(ValueError, match="update|delete"):
+        merge_into(t, src, matched=[{"action": "upsert"}])
+    with pytest.raises(ValueError, match="DELETE"):
+        merge_into(t, src, matched=[{"action": "delete", "set": {"n_tok": "1"}}])
+
+
+def test_merge_conditional_null_condition_does_not_fire(spark, tmp_path):
+    """A clause whose condition evaluates NULL must not fire (SQL
+    three-valued logic) — the matched row passes through unchanged."""
+    t = IceMiniTable.create(spark, str(tmp_path / "cn"))
+    t.append(generate_sequences(spark, 200), target_file_rows=100)
+    # a source with NULL n_tok makes "s.n_tok > t.n_tok" NULL
+    src = generate_merge_batch(spark, 200, insert_rows=0).withColumn(
+        "n_tok", F.lit(None).cast("int")
+    )
+    before = _df_hash(t.scan())
+    merge_into(t, src, matched=[
+        {"action": "delete", "condition": "s.n_tok > t.n_tok"},
+    ])
+    assert _df_hash(t.scan()) == before  # nothing fired, nothing lost
