@@ -308,6 +308,42 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INCREMENTAL dedup against a persisted signature store
+    # (sources/sigstore.MinHashStore): batch A (even doc_ids) is signed
+    # once into the store; batch B (odd doc_ids + planted near-dups of
+    # A docs) is deduped against it WITHOUT recomputing any stored
+    # signature — the store side is pure JVM over persisted sig/sh
+    # columns. Output = verified pairs touching B, restricted to the
+    # capped slice where the DuckDB exact-Jaccard truth is enumerable;
+    # pairs re-ordered numerically (the store keys ids as strings).
+    from datalakequality_spark.sources.sigstore import MinHashStore
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    planted = a.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" near duplicate suffix")).alias("text"),
+    )
+    b = d.where(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    root = _seq_table_tmpdir("dlq-sig-q-")
+    store = MinHashStore.create(spark, root)
+    store.add_batch(a, "doc_id", "text")
+    pairs = store.dedup_batch(b, "doc_id", "text", threshold=0.6)
+    ia, ib = F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    out = pairs.select(
+        F.least(ia, ib).alias("id_a"),
+        F.greatest(ia, ib).alias("id_b"),
+        "jaccard",
+    ).where(
+        ((F.col("id_a") < 500) | (F.col("id_a") >= 1_000_000))
+        & ((F.col("id_b") < 500) | (F.col("id_b") >= 1_000_000))
+    )
+    out._dlq_persisted = getattr(pairs, "_dlq_persisted", [])
+    return out
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FULL-corpus SimHash run; the oracle-checked slice is the planted
     # near-dup pairs over docs with ≥20 whitespace tokens — a 3-token
@@ -910,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_dedup": q_simhash_dedup,
         "fingerprint_dupes": q_fingerprint_dupes,
         "text_stats": q_text_stats,
@@ -1218,6 +1255,34 @@ def oracle_sql() -> dict[str, str]:
         # capped slice must EQUAL the exact truth set — certifies
         # recall 1.0, precision 1.0 and bitwise jaccard parity there
         "minhash_dedup": _NGRAM_TRUTH_SQL,
+        # incremental-store pairs = exact truth over the capped slice
+        # (even ids = stored batch A; odd + planted = new batch B),
+        # restricted to pairs with at least one side in B
+        "minhash_incremental": r"""
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' near duplicate suffix'
+              FROM documents WHERE doc_id < 20 AND doc_id % 2 = 0
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in generate_series(1, len(toks)-2)]) AS s
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                    FROM docs2)
+              WHERE len(toks) >= 3
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(a.s || b.s)) >= 0.6
+              AND (a.doc_id % 2 = 1 OR a.doc_id >= 1000000
+                   OR b.doc_id % 2 = 1 OR b.doc_id >= 1000000)
+        """,
         "simhash_dedup": r"""
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
             FROM documents
