@@ -280,6 +280,71 @@ def merge_into(
     return result
 
 
+# above this many affected files, task input lists are spilled to a
+# parquet side-table instead of inlined into plan/intent JSON
+_SPILL_THRESHOLD = 50_000
+
+
+def _pin_task_inputs(
+    log: JobLog,
+    affected_rel: list[str],
+    max_batch_files: int,
+    task_prefix: str,
+    threshold: int | None = None,
+) -> list[dict[str, Any]]:
+    """Plan batch tasks over an affected-file list. Small lists inline
+    into the plan JSON (readable, self-contained); beyond ``threshold``
+    the ordered list is spilled ONCE to a parquet side-table under the
+    job's lineage dir and tasks carry ``[lo, hi)`` index ranges — plan
+    and per-task intent records stay O(batch) instead of O(total
+    affected), so a 10^7-file takedown doesn't balloon every lineage
+    write (the same posture as batched MERGE's key→batch side-table)."""
+    if threshold is None:
+        threshold = _SPILL_THRESHOLD
+    if len(affected_rel) <= threshold:
+        return [
+            {"task_id": f"{task_prefix}-{i:05d}", "input_files": b}
+            for i, b in enumerate(_chunk(affected_rel, max_batch_files))
+        ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(log.dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"path": affected_rel}),
+        os.path.join(log.dir, "affected_files.parquet"),
+    )
+    n = len(affected_rel)
+    return [
+        {
+            "task_id": f"{task_prefix}-{i:05d}",
+            "file_range": [lo, min(lo + max_batch_files, n)],
+        }
+        for i, lo in enumerate(range(0, n, max_batch_files))
+    ]
+
+
+def _task_inputs(log: JobLog, task: dict[str, Any], cache: dict) -> list[str]:
+    """Resolve a task's input files — inline or via the spilled
+    side-table (read once per job run, sliced per task)."""
+    if "file_range" not in task:
+        return task["input_files"]
+    if "paths" not in cache:
+        import pyarrow.parquet as pq
+
+        cache["paths"] = pq.read_table(
+            os.path.join(log.dir, "affected_files.parquet")
+        )["path"].to_pylist()
+    lo, hi = task["file_range"]
+    return cache["paths"][lo:hi]
+
+
+def _task_input_count(task: dict[str, Any]) -> int:
+    if "file_range" in task:
+        return task["file_range"][1] - task["file_range"][0]
+    return len(task["input_files"])
+
+
 def _predicate_rewrite(
     table: IceMiniTable,
     cond,
@@ -341,15 +406,14 @@ def _predicate_rewrite(
         # zero affected files ⇒ zero tasks: the plan is still pinned (so
         # a resume sees the same no-op), but no empty commit churns a
         # junk snapshot/manifest for every no-match DELETE/UPDATE
-        tasks = [
-            {"task_id": f"{operation}-{i:05d}", "input_files": b}
-            for i, b in enumerate(_chunk(affected_rel, max_batch_files))
-        ]
+        tasks = _pin_task_inputs(log, affected_rel, max_batch_files, operation)
         log.write_plan(tasks)
+
+    spill_cache: dict[str, list[str]] = {}
 
     def _exec(task: dict[str, Any]) -> dict[str, Any]:
         tid = task["task_id"]
-        inputs: list[str] = task["input_files"]
+        inputs: list[str] = _task_inputs(log, task, spill_cache)
         if log.is_done(tid):
             return {"skipped": 1, **log.intent(tid)["counts"]}
         intent = log.intent(tid)
@@ -376,7 +440,9 @@ def _predicate_rewrite(
         }
         record = {
             "task_id": tid,
-            "input_files": inputs,
+            # spilled plans keep the range, not the list — intents stay
+            # O(batch outputs) regardless of total affected count
+            **{k: task[k] for k in ("input_files", "file_range") if k in task},
             "output_files": [e.path for e in new_entries],
             "counts": counts,
         }
@@ -393,7 +459,7 @@ def _predicate_rewrite(
 
     result = {
         "job_id": job_id,
-        "affected_files": sum(len(t["input_files"]) for t in tasks),
+        "affected_files": sum(_task_input_count(t) for t in tasks),
         "skipped": 0,
         "rewritten_files": 0,
         "new_files": 0,
@@ -511,7 +577,9 @@ def _delete_mor(
                 os.path.relpath(r["____file"], table.root) for r in hits
             )
         tasks = (
-            [{"task_id": "delete-mor", "input_files": affected_rel}]
+            _pin_task_inputs(
+                log, affected_rel, max(1, len(affected_rel)), "delete-mor"
+            )
             if affected_rel
             else []
         )
@@ -520,15 +588,16 @@ def _delete_mor(
     result: dict[str, Any] = {
         "job_id": job_id,
         "mode": "merge_on_read",
-        "affected_files": sum(len(t["input_files"]) for t in tasks),
+        "affected_files": sum(_task_input_count(t) for t in tasks),
         "skipped": 0,
         "rewritten_files": 0,
         "delete_files": 0,
         "deleted_rows": 0,
     }
+    spill_cache: dict[str, list[str]] = {}
     for task in tasks:  # at most one task: the commit is O(keys) bytes
         tid = task["task_id"]
-        inputs: list[str] = task["input_files"]
+        inputs: list[str] = _task_inputs(log, task, spill_cache)
         intent = log.intent(tid)
         if log.is_done(tid) or (
             intent is not None
@@ -551,7 +620,7 @@ def _delete_mor(
         entries = table.write_delete_files(keys)
         record = {
             "task_id": tid,
-            "input_files": inputs,
+            **{k: task[k] for k in ("input_files", "file_range") if k in task},
             "output_files": [e.path for e in entries],
             "deleted_rows": sum(e.rows for e in entries),
         }

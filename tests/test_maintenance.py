@@ -1069,3 +1069,73 @@ def test_merge_conditional_null_condition_does_not_fire(spark, tmp_path):
         {"action": "delete", "condition": "s.n_tok > t.n_tok"},
     ])
     assert _df_hash(t.scan()) == before  # nothing fired, nothing lost
+
+
+def test_task_input_spill_side_table(tmp_path):
+    """At 10^5 affected files, the plan spills to a parquet side-table:
+    tasks carry [lo, hi) ranges, the plan JSON stays O(#tasks), and
+    range resolution returns exactly the original ordered list."""
+    import json as _json
+
+    from datalakequality_spark.maintenance.merge import (
+        _pin_task_inputs,
+        _task_input_count,
+        _task_inputs,
+    )
+
+    log = JobLog(str(tmp_path), "spill-unit")
+    names = [f"data/f-{i:07d}.parquet" for i in range(100_000)]
+    tasks = _pin_task_inputs(log, names, 256, "delete")
+    log.write_plan(tasks)
+    assert all("file_range" in t and "input_files" not in t for t in tasks)
+    assert len(tasks) == -(-100_000 // 256)
+    assert sum(_task_input_count(t) for t in tasks) == 100_000
+    # plan JSON is metadata-scale, not O(total paths)
+    assert os.path.getsize(os.path.join(log.dir, "plan.json")) < 64 * 1024
+    cache: dict = {}
+    resolved = [p for t in tasks for p in _task_inputs(log, t, cache)]
+    assert resolved == names
+    # below the threshold, lists stay inline (readable, self-contained)
+    small = _pin_task_inputs(log, names[:10], 4, "delete", threshold=100)
+    assert all("input_files" in t for t in small)
+
+
+def test_delete_where_spilled_plan_and_resume(spark, tmp_path, monkeypatch):
+    """With the spill threshold forced to 2, a copy-on-write DELETE runs
+    its whole batched/resume machinery off the side-table: crash at
+    task k resumes correctly and the final content matches the
+    predicate complement."""
+    import datalakequality_spark.maintenance.merge as merge_mod
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    monkeypatch.setattr(merge_mod, "_SPILL_THRESHOLD", 2)
+    t = IceMiniTable.create(spark, str(tmp_path / "sp"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=250)
+    expect = t.scan().where("NOT coalesce(n_tok % 2 = 0, false)").count()
+
+    real_mark_done = JobLog.mark_done
+    calls = {"n": 0}
+
+    def dying(self, task_id, record):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("crash mid-job")
+        return real_mark_done(self, task_id, record)
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        delete_where(t, "n_tok % 2 = 0", job_id="sp-del", max_batch_files=4)
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+
+    plan = os.path.join(t.root, "metadata", "jobs", "sp-del", "plan.json")
+    import json as _json
+
+    tasks = _json.load(open(plan))["tasks"]
+    assert all("file_range" in t_ for t_ in tasks)
+    assert os.path.exists(
+        os.path.join(t.root, "metadata", "jobs", "sp-del", "affected_files.parquet")
+    )
+    r = delete_where(t, "n_tok % 2 = 0", job_id="sp-del", max_batch_files=4)
+    assert r["skipped"] >= 1
+    assert t.scan().count() == expect
+    assert t.scan().where("n_tok % 2 = 0").count() == 0
