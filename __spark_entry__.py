@@ -732,6 +732,53 @@ def q_delete_where_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE-ON-READ MERGE in the correctness gate (the Flink-on-Iceberg
+    # upsert shape): ONE commit of equality-delete files (the source
+    # keys) + appended data files — ZERO target files rewritten
+    # (asserted: every pre-merge data file is still live) — with the
+    # matched rows suppressed at scan time by the seq-ordered
+    # anti-join. The oracle is the SAME merged-state SQL as the
+    # copy-on-write path: both modes must produce identical logical
+    # content; only the physical strategy (O(source) appended bytes vs
+    # affected-file rewrite) differs.
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 5519) % 443 + 1, 43, F.col("source")
+    )
+    updates = _mk(
+        d.where(F.col("doc_id") % 4 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 5519) % 443 + 9,
+        47,
+        F.col("source"),
+    )
+    inserts = _mk(
+        d.where(F.col("doc_id") < 60),
+        F.col("doc_id") + 3_000_000,
+        F.col("doc_id") % 83 + 1,
+        53,
+        F.lit("new"),
+    )
+    root = _seq_table_tmpdir("dlq-mergemor-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    data_paths = t.live_paths()
+    r = merge_into(t, updates.unionByName(inserts), mode="merge_on_read")
+    assert r["rewritten_files"] == 0 and data_paths <= t.live_paths()
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style conditional MERGE in the correctness gate:
     # WHEN MATCHED AND s.n_tok > t.n_tok THEN UPDATE SET ... /
@@ -962,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_rewrite": q_maintain_rewrite,
         "delete_where": q_delete_where,
         "delete_where_mor": q_delete_where_mor,
+        "merge_mor": q_merge_mor,
         "merge_conditional": q_merge_conditional,
         "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
@@ -1468,6 +1516,33 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM tgt WHERE NOT (n_tok % 6 = 0)
+        """,
+        "merge_mor": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 5519) % 443 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 43 AS mult
+              FROM documents
+            ), src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 5519) % 443 + 9 AS n_tok, source,
+                     doc_id AS raw_id, 47 AS mult
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 3000000 AS VARCHAR),
+                     doc_id % 83 + 1, 'new', doc_id + 3000000, 53
+              FROM documents WHERE doc_id < 60
+            ), merged AS (
+              SELECT * FROM src
+              UNION ALL
+              SELECT * FROM tgt
+              WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM merged
         """,
         "merge_conditional": """
             WITH tgt AS (

@@ -162,7 +162,13 @@ def _run_shards(
             log.mark_done(tid, intent)
             return {"skipped": 1}
 
-        by_path = {e.path: e for e in table.live_entries()}
+        # pin the read snapshot: the rewrite applies the deletes live at
+        # read_v and emits fresh-seq outputs, so the commit must abort
+        # if a newer applicable delete lands in between (otherwise the
+        # outputs would resurrect its rows) — see commit()'s
+        # no_new_deletes_since (Iceberg validateNoNewDeleteFiles)
+        read_v = table.current_version()
+        by_path = {e.path: e for e in table.live_entries(read_v)}
         live_inputs = [by_path[p] for p in inputs if p in by_path]
         quarantine: list[dict[str, Any]] = []
         if quality_gate and live_inputs:
@@ -182,7 +188,9 @@ def _run_shards(
                 # fresh seq, so the rewrite physically sheds them; the
                 # last shard's commit then drops the dangling delete
                 # files — metadata-only)
-                df=table.read_files([e.path for e in live_inputs]),
+                df=table.read_files(
+                    [e.path for e in live_inputs], version=read_v
+                ),
             )
             new_entries = table.write_data_files(clustered, split_col="__pid")
         else:
@@ -203,6 +211,7 @@ def _run_shards(
             required_paths=inputs,
             quarantine=quarantine,
             summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+            no_new_deletes_since=read_v,
         )
         log.mark_done(tid, record)
         return {

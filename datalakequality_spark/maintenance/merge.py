@@ -114,6 +114,7 @@ def merge_into(
     max_concurrent_batches: int = 4,
     matched: list[dict[str, Any]] | None = None,
     not_matched_condition: str | None = None,
+    mode: str = "copy_on_write",
 ) -> dict[str, Any]:
     """MERGE INTO with optional Iceberg-style conditional clauses.
 
@@ -126,7 +127,42 @@ def merge_into(
     ``not_matched_condition`` filters which unmatched source rows are
     inserted (``s.<col>`` or bare columns). Affected-file discovery is
     clause-agnostic (any file holding a matched key is rewritten, even
-    if no clause fires on its rows) — conservative, never wrong."""
+    if no clause fires on its rows) — conservative, never wrong.
+
+    ``mode="copy_on_write"`` (default): affected target files are
+    rewritten — read-optimal, but a trickle upsert touching one row in
+    each of 10^5 files rewrites 10^5 files.
+
+    ``mode="merge_on_read"``: the Flink-on-Iceberg upsert shape — the
+    source keys are written as EQUALITY-DELETE files (suppressing every
+    older row of each key) and the source rows as new data files, in
+    ONE commit whose cost is O(source) bytes: no discovery scan, no
+    target rewrite. Scans anti-join the deletes out
+    (``IceMiniTable._read_with_deletes``); the next clustering rewrite
+    sheds them physically. Restricted to the default replace-row
+    clauses and ``key="doc_id"`` (see ``_merge_mor``)."""
+    if mode == "merge_on_read":
+        if matched is not None or not_matched_condition is not None:
+            raise ValueError(
+                "merge_on_read supports only the default WHEN MATCHED "
+                "UPDATE SET * / WHEN NOT MATCHED INSERT * clauses: "
+                "conditional clauses need the matched target rows, "
+                "which only the copy-on-write rewrite reads"
+            )
+        if key != "doc_id":
+            raise ValueError(
+                "merge_on_read requires key='doc_id' (equality-delete "
+                "files and their scan-time anti-join are doc_id-keyed)"
+            )
+        return _merge_mor(
+            table,
+            source,
+            key,
+            job_id or f"merge-mor-{uuid.uuid4().hex[:12]}",
+            salt_partitions,
+        )
+    if mode != "copy_on_write":
+        raise ValueError(f"unknown MERGE mode {mode!r}")
     spark = table.spark
     matched = _validate_clauses(matched)
     job_id = job_id or f"merge-{uuid.uuid4().hex[:12]}"
@@ -233,9 +269,16 @@ def merge_into(
             log.mark_done(tid, intent)
             return None
 
+        # pin the read snapshot; the commit aborts if a newer equality
+        # delete applicable to this task's inputs lands in between —
+        # the rewrite's fresh-seq outputs would resurrect its rows
+        # (commit()'s no_new_deletes_since, Iceberg
+        # validateNoNewDeleteFiles)
+        read_v = table.current_version()
         rewritten = _task_output(
             spark, table, task, source, src_keys, key, keys_dir,
             matched=matched, not_matched_condition=not_matched_condition,
+            version=read_v,
         )
         new_entries: list[FileEntry] = (
             table.write_data_files(rewritten) if rewritten is not None else []
@@ -255,6 +298,7 @@ def merge_into(
                 removed_paths=inputs,
                 required_paths=inputs,
                 summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+                no_new_deletes_since=read_v,
             )
         # else: nothing to add, nothing to remove (a source with zero
         # unmatched keys) — marking done without a junk empty snapshot
@@ -272,6 +316,116 @@ def merge_into(
         result["tasks"] += 1
         result["input_files"].extend(record["input_files"])
         result["output_files"].extend(record["output_files"])
+        result["rows"] += record["rows"]
+        result["tokens"] += record["tokens"]
+
+    source.unpersist()
+    result["snapshot_id"] = table.current_version()
+    return result
+
+
+def _merge_mor(
+    table: IceMiniTable,
+    source: DataFrame,
+    key: str,
+    job_id: str,
+    salt_partitions: int | None,
+) -> dict[str, Any]:
+    """Merge-on-read upsert — the Flink-on-Iceberg equality-delete
+    writer shape: ONE commit adds (a) equality-delete files holding the
+    source keys and (b) data files holding the source rows. Matched
+    target rows are suppressed at scan time by the deletes; unmatched
+    keys' deletes are no-ops. Commit cost is O(source) bytes — no
+    discovery scan, no target-file reads, no rewrites — which is what
+    makes a trickle upsert against a 10^5-file 100 TB table a
+    seconds-level operation instead of a full-table rewrite.
+
+    Why NO conflict validation is needed (``required_paths=()``): both
+    the delete and data files take the commit's own sequence number,
+    the highest in the table, so the deletes apply to EVERY data file
+    committed before them — including a concurrent rewrite's fresh-seq
+    outputs that land first — while the appended rows (seq equal to the
+    deletes', never less) are exempt. Rewrites that land AFTER this
+    commit abort via ``commit(no_new_deletes_since=...)`` and re-run
+    reading the new deletes. Concurrent MoR merges on overlapping keys
+    serialize last-writer-wins in commit order (snapshot isolation,
+    Flink upsert semantics); a concurrent COPY-ON-WRITE merge that
+    aborts against this commit must be re-planned under a NEW job_id —
+    its pinned affected-file plan cannot see this merge's appended
+    files.
+
+    Idempotent on crash-resume by construction: re-applying the same
+    source writes deletes that supersede the earlier application's
+    rows, leaving exactly one live row per key — the lineage probes
+    below only avoid junk snapshots, they are not load-bearing."""
+    spark = table.spark
+    log = JobLog(table.root, job_id)
+
+    source = table.align_to_schema(source).dropDuplicates([key])
+    if salt_partitions:
+        source = source.repartition(salt_partitions, F.xxhash64(key, F.lit(42)))
+    source = source.persist()
+    n_src = source.count()
+
+    tasks = log.load_plan()
+    if tasks is None:
+        # the plan is pinned even when empty so a resume is a no-op
+        tasks = [{"task_id": "upsert", "kind": "mor"}] if n_src else []
+        log.write_plan(tasks)
+
+    result: dict[str, Any] = {
+        "job_id": job_id,
+        "mode": "merge_on_read",
+        "source_keys": n_src,
+        "skipped": 0,
+        "delete_files": 0,
+        "appended_files": 0,
+        "rows": 0,
+        "tokens": 0,
+        "rewritten_files": 0,  # the point of merge-on-read
+    }
+    for task in tasks:  # exactly one: the commit is O(source) bytes
+        tid = task["task_id"]
+        intent = log.intent(tid)
+        if log.is_done(tid) or (
+            intent is not None
+            and (
+                commit_landed(table, job_id, tid)
+                or (
+                    set(intent["output_files"]) <= table.live_paths()
+                    and set(intent["delete_files"])
+                    <= table.live_delete_paths()
+                )
+            )
+        ):
+            rec = log.intent(tid) or intent
+            if not log.is_done(tid):
+                log.mark_done(tid, rec)
+            result["skipped"] += 1
+            result["delete_files"] += len(rec["delete_files"])
+            result["appended_files"] += len(rec["output_files"])
+            result["rows"] += rec["rows"]
+            result["tokens"] += rec["tokens"]
+            continue
+        del_entries = table.write_delete_files(source.select(key))
+        data_entries = table.write_data_files(source)
+        record = {
+            "task_id": tid,
+            "output_files": [e.path for e in data_entries],
+            "delete_files": [e.path for e in del_entries],
+            "rows": sum(e.rows for e in data_entries),
+            "tokens": sum(e.token_count for e in data_entries),
+        }
+        log.mark_intent(tid, record)
+        table.commit(
+            "merge-mor",
+            added=data_entries,
+            added_deletes=del_entries,
+            summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+        )
+        log.mark_done(tid, record)
+        result["delete_files"] += len(del_entries)
+        result["appended_files"] += len(data_entries)
         result["rows"] += record["rows"]
         result["tokens"] += record["tokens"]
 
@@ -425,11 +579,14 @@ def _predicate_rewrite(
             return {"skipped": 1, **intent["counts"]}
 
         new_entries: list[FileEntry] = []
+        read_v = table.current_version()
         if inputs:
             # read_files applies pending MoR deletes: the rewrite's
             # output takes a fresh seq, so a raw read would resurrect
-            # already-deleted rows into the new files
-            src = table.read_files(inputs)
+            # already-deleted rows into the new files; the read is
+            # pinned at read_v and the commit below aborts if a newer
+            # applicable delete lands in between
+            src = table.read_files(inputs, version=read_v)
             new_entries = table.write_data_files(rewrite(src))
         by_path = {e.path: e for e in table.live_entries()}
         counts = {
@@ -453,6 +610,7 @@ def _predicate_rewrite(
             removed_paths=inputs,
             required_paths=inputs,
             summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+            no_new_deletes_since=read_v,
         )
         log.mark_done(tid, record)
         return {"skipped": 0, **counts}
@@ -873,6 +1031,7 @@ def _conditional_file_rewrite(
     source: DataFrame,
     key: str,
     clauses: list[dict[str, Any]],
+    version: int | None = None,
 ) -> DataFrame:
     """Rewrite one task's files under WHEN MATCHED clauses: a left join
     of the files' rows against the source (aliases ``t``/``s``), a
@@ -883,7 +1042,7 @@ def _conditional_file_rewrite(
     itself, which AQE sizes (the source is persisted and typically
     broadcast-able after filtering)."""
     cols = table.schema().fieldNames()
-    tgt = table.read_files(input_files).alias("t")
+    tgt = table.read_files(input_files, version=version).alias("t")
     src = source.withColumn("__s_present", F.lit(True)).alias("s")
     j = tgt.join(src, F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
 
@@ -931,9 +1090,11 @@ def _task_output(
     keys_dir: str,
     matched: list[dict[str, Any]] | None = None,
     not_matched_condition: str | None = None,
+    version: int | None = None,
 ) -> DataFrame | None:
     """The rows a merge task writes (None ⇒ nothing to write, commit is
-    a pure file-removal/no-op)."""
+    a pure file-removal/no-op). ``version`` pins the read snapshot so
+    the caller can validate no newer deletes at commit time."""
     kind = task.get("kind", "single")
     cols = table.schema().fieldNames()
     if kind == "inserts":
@@ -951,7 +1112,7 @@ def _task_output(
         # batched tasks need no key→batch coordination for updates
         # (only inserts do, via the trailing inserts task above)
         rewritten = _conditional_file_rewrite(
-            table, task["input_files"], source, key, matched
+            table, task["input_files"], source, key, matched, version=version
         )
         if kind != "single":
             return rewritten
@@ -960,7 +1121,9 @@ def _task_output(
         # file holding a matched key is in input_files, so an anti-join
         # against these files' keys IS the table-wide unmatched set)
         ins = source.join(
-            table.read_files(task["input_files"]).select(key), key, "left_anti"
+            table.read_files(task["input_files"], version=version).select(key),
+            key,
+            "left_anti",
         )
         if not_matched_condition is not None:
             ins = ins.alias("s").where(F.expr(not_matched_condition))
@@ -968,7 +1131,7 @@ def _task_output(
 
     # read_files applies pending MoR deletes — a merge rewrite's output
     # takes a fresh seq, so raw-reading would resurrect deleted rows
-    survivors = table.read_files(task["input_files"]).join(
+    survivors = table.read_files(task["input_files"], version=version).join(
         src_keys, key, "left_anti"
     )
     if kind == "single":

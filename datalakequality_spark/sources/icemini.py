@@ -430,6 +430,7 @@ class IceMiniTable:
         summary_extra: dict[str, Any] | None = None,
         added_deletes: list[FileEntry] | None = None,
         removed_delete_paths: Iterable[str] = (),
+        no_new_deletes_since: int | None = None,
     ) -> Snapshot:
         """Optimistic commit: new snapshot = parent − removed + added.
 
@@ -449,6 +450,18 @@ class IceMiniTable:
         data file of strictly smaller seq left to apply to — are shed
         automatically from the new snapshot (metadata-only), so a full
         rewrite physically materializes pending deletes and drops them.
+
+        ``no_new_deletes_since``: Iceberg's ``validateNoNewDeleteFiles``
+        for physical rewrites. A rewrite that read its inputs (applying
+        the deletes live at snapshot V) and emits fresh-seq outputs
+        MUST abort if an equality delete applicable to any of its
+        inputs committed after V — otherwise the rewrite's outputs
+        (seq > the new delete's seq) silently RESURRECT the deleted
+        rows. Callers pin their read at ``read_files(...,
+        version=V)`` and pass ``no_new_deletes_since=V``; the check
+        re-runs on every optimistic retry against the current base.
+        Seq-preserving rewrites (bin-pack compaction) don't need it:
+        pending and future deletes still apply to their outputs.
         """
         removed = set(removed_paths)
         removed_del = set(removed_delete_paths)
@@ -466,6 +479,29 @@ class IceMiniTable:
                     f"{operation}: input files no longer live "
                     f"(concurrently rewritten): {missing}"
                 )
+            if no_new_deletes_since is not None and required:
+                fresh_dels = [
+                    d
+                    for d in self.live_delete_entries(base)
+                    if (d.seq or 0) > no_new_deletes_since
+                ]
+                if fresh_dels:
+                    by_path = {
+                        e.path: e for e in self.live_entries(base)
+                    }
+                    for p in sorted(required):
+                        e = by_path.get(p)
+                        if e is not None and applicable_delete_paths(
+                            e, fresh_dels
+                        ):
+                            raise CommitConflict(
+                                f"{operation}: equality-delete files "
+                                f"committed after read snapshot "
+                                f"{no_new_deletes_since} apply to input "
+                                f"{p}; rewriting it would resurrect "
+                                f"deleted rows — re-run to pick up the "
+                                f"new deletes"
+                            )
             for e in [*added, *(added_deletes or [])]:
                 if id(e) not in preset_seq:
                     e.seq = base + 1

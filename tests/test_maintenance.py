@@ -1139,3 +1139,171 @@ def test_delete_where_spilled_plan_and_resume(spark, tmp_path, monkeypatch):
     assert r["skipped"] >= 1
     assert t.scan().count() == expect
     assert t.scan().where("n_tok % 2 = 0").count() == 0
+
+
+# ------------------------------------------------------- merge-on-read MERGE
+
+
+def test_merge_merge_on_read_equals_copy_on_write(spark, tmp_path):
+    """mode="merge_on_read" is the Flink-upsert shape: ONE commit of
+    equality-delete files (the source keys) + appended data files —
+    ZERO target files rewritten — whose logical content equals the
+    copy-on-write merge of the identical source (token-array equality);
+    the next clustering rewrite sheds the deletes physically without
+    changing content."""
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
+
+    src = generate_merge_batch(spark, 3000, insert_rows=300)
+
+    t_cow = IceMiniTable.create(spark, str(tmp_path / "cow"))
+    t_cow.append(generate_sequences(spark, 3000), target_file_rows=250)
+    merge_into(t_cow, src)
+
+    t_mor = IceMiniTable.create(spark, str(tmp_path / "mor"))
+    t_mor.append(generate_sequences(spark, 3000), target_file_rows=250)
+    data_paths = t_mor.live_paths()
+    r = merge_into(t_mor, src, mode="merge_on_read")
+
+    assert r["mode"] == "merge_on_read" and r["rewritten_files"] == 0
+    # O(source): every pre-merge data file untouched, only appends
+    assert data_paths <= t_mor.live_paths()
+    assert r["delete_files"] > 0 and r["appended_files"] > 0
+    assert len(t_mor.live_delete_entries()) == r["delete_files"]
+    # matched rows suppressed at scan time; exactly one row per key
+    assert _content_hash(t_mor) == _content_hash(t_cow)
+    assert t_mor.scan().count() == t_cow.scan().count()
+    assert (
+        t_mor.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+    )
+
+    # the clustering rewrite materializes the deletes and drops them
+    rewrite_sorted(t_mor, method="zorder", target_rows_per_file=1000)
+    assert len(t_mor.live_delete_entries()) == 0
+    assert _content_hash(t_mor) == _content_hash(t_cow)
+
+
+def test_merge_mor_validation(spark, tmp_path):
+    """merge_on_read is restricted to the default replace-row clauses
+    and the doc_id key; unknown modes raise."""
+    t = IceMiniTable.create(spark, str(tmp_path / "v"))
+    t.append(generate_sequences(spark, 100))
+    src = generate_sequences(spark, 10, rev=1)
+    with pytest.raises(ValueError, match="clauses"):
+        merge_into(
+            t,
+            src,
+            mode="merge_on_read",
+            matched=[{"action": "delete", "condition": "t.n_tok % 2 = 0"}],
+        )
+    with pytest.raises(ValueError, match="doc_id"):
+        merge_into(t, src, key="source", mode="merge_on_read")
+    with pytest.raises(ValueError, match="mode"):
+        merge_into(t, src, mode="bogus")
+
+
+def test_merge_mor_crash_resume_and_reapply(spark, tmp_path, monkeypatch):
+    """Crash between commit and done-ack: the same job_id resumes as a
+    pure ack (skipped=1, no duplicate delete/data files). Re-applying
+    the SAME source under a NEW job_id is also content-idempotent by
+    construction — the new deletes supersede the first application's
+    rows, leaving exactly one live row per key."""
+    t = IceMiniTable.create(spark, str(tmp_path / "res"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    src = generate_merge_batch(spark, 2000, insert_rows=200)
+
+    real_mark_done = JobLog.mark_done
+
+    def dying(self, task_id, record):
+        raise RuntimeError("crash post-commit")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        merge_into(t, src, mode="merge_on_read", job_id="mor-merge-res")
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+
+    v_after_crash = t.current_version()
+    h = _content_hash(t)
+    r = merge_into(t, src, mode="merge_on_read", job_id="mor-merge-res")
+    assert r["skipped"] == 1
+    assert t.current_version() == v_after_crash  # ack only, no new commit
+    assert _content_hash(t) == h
+
+    # re-apply under a NEW job_id: one live row per key, same content
+    merge_into(t, src, mode="merge_on_read")
+    assert _content_hash(t) == h
+    assert (
+        t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+    )
+
+
+def test_rewrite_aborts_when_mor_delete_lands_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """Iceberg validateNoNewDeleteFiles: a clustering rewrite reads its
+    inputs (applying deletes live at snapshot V) and emits fresh-seq
+    outputs — if an equality delete applicable to those inputs commits
+    after V, blindly committing would RESURRECT the deleted rows. The
+    commit must abort; the re-run picks up the new deletes."""
+    from datalakequality_spark.maintenance.clustering import rewrite_sorted
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "resur"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+
+    orig = IceMiniTable.write_data_files
+    fired = {"done": False}
+
+    def hooked(self, df, *a, **k):
+        # inject a MoR delete between the rewrite's pinned read and its
+        # commit (first write_data_files call only — delete_where's own
+        # path uses write_delete_files, no recursion)
+        if self is t and not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(IceMiniTable, "write_data_files", orig)
+            delete_where(t, "n_tok % 3 = 0", mode="merge_on_read")
+        return orig(self, df, *a, **k)
+
+    monkeypatch.setattr(IceMiniTable, "write_data_files", hooked)
+    with pytest.raises(CommitConflict, match="delete"):
+        rewrite_sorted(t, method="zorder", target_rows_per_file=1000, job_id="rz")
+    assert fired["done"]
+
+    # the delete landed; the aborted rewrite resurrected nothing
+    expect = t.scan().where("NOT coalesce(n_tok % 3 = 0, false)").count()
+    assert t.scan().count() == expect
+
+    # re-run with the same job_id: reads the new deletes, sheds them
+    rewrite_sorted(t, method="zorder", target_rows_per_file=1000, job_id="rz")
+    assert t.scan().count() == expect
+    assert t.scan().where("n_tok % 3 = 0").count() == 0
+    assert len(t.live_delete_entries()) == 0
+
+
+def test_cow_merge_aborts_when_mor_delete_lands_mid_flight(
+    spark, tmp_path, monkeypatch
+):
+    """The same resurrect guard for copy-on-write MERGE rewrites: its
+    anti-join+union outputs take a fresh seq, so a mid-flight equality
+    delete on its input files must conflict the commit."""
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "cowc"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    src = generate_merge_batch(spark, 2000, insert_rows=0)
+
+    orig = IceMiniTable.write_data_files
+    fired = {"done": False}
+
+    def hooked(self, df, *a, **k):
+        if self is t and not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(IceMiniTable, "write_data_files", orig)
+            delete_where(t, "n_tok % 3 = 0", mode="merge_on_read")
+        return orig(self, df, *a, **k)
+
+    monkeypatch.setattr(IceMiniTable, "write_data_files", hooked)
+    with pytest.raises(CommitConflict, match="delete"):
+        merge_into(t, src, job_id="cow-mid")
+    assert fired["done"]
+    expect = t.scan().where("NOT coalesce(n_tok % 3 = 0, false)").count()
+    assert t.scan().count() == expect  # nothing resurrected
