@@ -779,6 +779,57 @@ def q_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DELETE-FILE COMPACTION in the correctness gate: two trickle
+    # merge-on-read upserts (overlapping hot keys) plus a merge-on-read
+    # DELETE build an equality-delete backlog; compact_delete_files
+    # consolidates it (subsumption + Bloom-probed dead-key drop +
+    # seq-lift) and the scan afterwards must equal the plain-SQL merged
+    # state — the oracle certifies the consolidation changed NOTHING
+    # logically while the assertion pins that it shrank the backlog.
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+    from datalakequality_spark.maintenance.merge import delete_where, merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 6007) % 457 + 1, 59, F.col("source")
+    )
+    m1 = _mk(
+        d.where(F.col("doc_id") % 10 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 6007) % 457 + 4,
+        61,
+        F.col("source"),
+    )
+    m2 = _mk(
+        d.where(F.col("doc_id") % 5 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 6007) % 457 + 7,
+        67,
+        F.col("source"),
+    )
+    root = _seq_table_tmpdir("dlq-cdel-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    merge_into(t, m1, mode="merge_on_read")
+    merge_into(t, m2, mode="merge_on_read")  # m1 ⊆ m2: m2 supersedes m1
+    delete_where(t, "n_tok % 9 = 0", mode="merge_on_read")
+    backlog = len(t.live_delete_entries())
+    r = compact_delete_files(t)
+    assert r["skipped"] == 0 and len(t.live_delete_entries()) < backlog
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
 def q_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style conditional MERGE in the correctness gate:
     # WHEN MATCHED AND s.n_tok > t.n_tok THEN UPDATE SET ... /
@@ -1010,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_where": q_delete_where,
         "delete_where_mor": q_delete_where_mor,
         "merge_mor": q_merge_mor,
+        "compact_deletes": q_compact_deletes,
         "merge_conditional": q_merge_conditional,
         "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
@@ -1543,6 +1595,38 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM merged
+        """,
+        "compact_deletes": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 6007) % 457 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 59 AS mult
+              FROM documents
+            ), m1 AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 6007) % 457 + 4 AS n_tok, source,
+                     doc_id AS raw_id, 61 AS mult
+              FROM documents WHERE doc_id % 10 = 0
+            ), m2 AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 6007) % 457 + 7 AS n_tok, source,
+                     doc_id AS raw_id, 67 AS mult
+              FROM documents WHERE doc_id % 5 = 0
+            ), upserted AS (
+              SELECT * FROM m2
+              UNION ALL
+              SELECT * FROM m1 WHERE doc_id NOT IN (SELECT doc_id FROM m2)
+            ), merged AS (
+              SELECT * FROM upserted
+              UNION ALL
+              SELECT * FROM tgt
+              WHERE doc_id NOT IN (SELECT doc_id FROM upserted)
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum
+            FROM merged WHERE NOT (n_tok % 9 = 0)
         """,
         "merge_conditional": """
             WITH tgt AS (

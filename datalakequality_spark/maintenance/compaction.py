@@ -257,3 +257,254 @@ def compact_table(
         result["new_files"] += len(new_entries)
         result["quarantined_files"] += len(quarantine)
     return result
+
+
+def compact_delete_files(
+    table: IceMiniTable,
+    job_id: str | None = None,
+    min_files: int = 2,
+    max_analysis_keys: int = 4_000_000,
+    max_rows_per_file: int = 4_000_000,
+) -> dict[str, Any]:
+    """Consolidate the equality-delete backlog — the Iceberg
+    ``rewrite_position_delete_files`` maintenance action re-expressed
+    for equality deletes. Trickle merge-on-read upserts append one or
+    more small delete files per commit; every scan's anti-join then
+    fans in over the whole backlog, and the applicable-delete grouping
+    in ``_read_with_deletes`` fragments into more (scan, anti-join)
+    pairs. This action rewrites the backlog into the fewest delete
+    files that preserve scan semantics EXACTLY, in three steps:
+
+    1. **Subsumption** (always, fully distributed): a delete at seq S
+       applies to data files with seq < S — monotone in S — so a key
+       deleted at several seqs is kept only at its MAX seq. This alone
+       collapses hot-key trickle upserts.
+    2. **Dead-key drop** (under ``max_analysis_keys``): a key none of
+       whose applicable data files (seq < S_k) can contain it — proven
+       by the per-file Bloom sidecars (``sources/keybloom``) — deletes
+       nothing and is dropped. Files without a sidecar are
+       conservatively assumed to contain every key.
+    3. **Seq-lift** (same probe): a key is safe to carry at the
+       backlog's TOP seq T (instead of its own S_k) iff no live data
+       file with seq in [S_k, T) can contain it — the lifted delete
+       then applies to a superset of files, but the extra files
+       provably lack the key. Lifted keys from ALL seqs merge into one
+       file group, which is what turns a 1000-commit backlog into one
+       file. Keys that fail the probe stay at their own seq
+       (conservative, never wrong).
+
+    Output files carry PRESET sequence numbers (never the commit's own
+    fresh seq — that would make them apply to data appended after T,
+    wrongly deleting re-inserted keys). Concurrency is safe without
+    required-path validation: concurrent appends/merges take seqs > T
+    (outside every output's applicability), concurrent rewrites emit
+    fresh-seq outputs (ditto) and already applied the old deletes they
+    read, and bin-pack compaction's applicable-delete-class constraint
+    keeps every file's below/window classification stable (output seq =
+    min of a same-class bin). Output groups that went dangling by
+    commit time are auto-dropped by ``commit``'s dangling-delete shed.
+    Two racing compactions at worst duplicate consolidated keys across
+    two same-seq files — anti-join semantics are unchanged and the next
+    compaction collapses them.
+
+    Above ``max_analysis_keys`` the Bloom analysis (a driver-side key
+    vector broadcast to one probe task per data file) is skipped and
+    subsumption-only consolidation runs: one output group per surviving
+    distinct seq, all distributed, no driver key materialization.
+
+    Boundary (shared with Iceberg's equality deletes): an upsert key's
+    delete can never lift past its own commit's data file — that file
+    sits in the lift window and contains the key's NEW row, which the
+    lifted delete would kill. So a trickle stream upserting DISJOINT
+    keys consolidates by rows (subsumption/dead-drop) but keeps one
+    file per epoch seq; cross-seq file-count consolidation for such
+    backlogs requires position deletes (Iceberg converts equality →
+    position deletes at minor compaction), out of scope here. HOT keys
+    (re-upserted across epochs) DO collapse — the earlier epochs'
+    groups empty out — and the clustering rewrite remains the full
+    physical shed.
+
+    Resumable under the same ``job_id`` (plan → intent → tagged commit
+    → done)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import keybloom as kb
+    from .lineage import commit_landed
+
+    spark = table.spark
+    job_id = job_id or f"compact-deletes-{uuid.uuid4().hex[:12]}"
+    log = JobLog(table.root, job_id)
+
+    result: dict[str, Any] = {
+        "job_id": job_id,
+        "input_delete_files": 0,
+        "output_delete_files": 0,
+        "input_delete_rows": 0,
+        "output_delete_rows": 0,
+        "dead_keys_dropped": 0,
+        "lifted_keys": 0,
+        "kept_keys": 0,
+        "skipped": 0,
+        "analysis": "bloom",
+    }
+
+    tid = "rewrite-deletes"
+    intent = log.intent(tid)
+    if log.is_done(tid) or (
+        intent is not None
+        and (
+            commit_landed(table, job_id, tid)
+            or set(intent["output_files"]) <= table.live_delete_paths()
+        )
+    ):
+        if not log.is_done(tid):
+            log.mark_done(tid, intent)
+        result["skipped"] = 1
+        if intent is not None:
+            result.update(intent.get("counts", {}))
+        return result
+
+    dels = table.live_delete_entries()
+    if len(dels) < min_files:
+        result["skipped"] = 1
+        return result
+    result["input_delete_files"] = len(dels)
+    result["input_delete_rows"] = sum(d.rows for d in dels)
+    top_seq = max((d.seq or 0) for d in dels)
+
+    # one scan of the backlog; file → seq via a broadcast relpath join
+    key_schema = "doc_id string"
+    seq_map = spark.createDataFrame(
+        [(table._abs(d.path), int(d.seq or 0)) for d in dels],
+        "____file string, __dseq long",
+    )
+    raw = (
+        spark.read.schema(key_schema)
+        .parquet(*[table._abs(d.path) for d in dels])
+        .select(
+            "doc_id",
+            F.expr(
+                "replace(replace(input_file_name(), 'file://', ''), 'file:', '')"
+            ).alias("____file"),
+        )
+        .join(F.broadcast(seq_map), "____file")
+    )
+    # subsumption: keep each key only at its max delete seq
+    keys = raw.groupBy("doc_id").agg(F.max("__dseq").alias("sk"))
+
+    n_keys = keys.count()
+    groups: list[tuple[int, Any]] = []  # (preset_seq, keys DataFrame/pdf)
+    if n_keys <= max_analysis_keys:
+        kp = keys.select(
+            "doc_id", "sk", F.xxhash64("doc_id").alias("h")
+        ).toPandas()
+        h = kp["h"].to_numpy(dtype=np.int64)
+        sk = kp["sk"].to_numpy(dtype=np.int64)
+        bc = spark.sparkContext.broadcast((h, sk, int(top_seq)))
+        root = table.root
+        live = table.live_entries()
+
+        def _probe(batches):
+            hh, skk, top = bc.value
+            below = np.zeros(len(hh), dtype=bool)
+            window = np.zeros(len(hh), dtype=bool)
+            for pdf in batches:
+                for bp, fseq in zip(pdf["bloom"], pdf["fseq"]):
+                    words = kb.load(os.path.join(root, bp)) if bp else None
+                    mask = (
+                        kb.probe(words, hh)
+                        if words is not None
+                        else np.ones(len(hh), dtype=bool)
+                    )
+                    below |= mask & (fseq < skk)
+                    window |= mask & (fseq >= skk) & (fseq < top)
+            yield pd.DataFrame(
+                {
+                    "below": [np.packbits(below).tobytes()],
+                    "window": [np.packbits(window).tobytes()],
+                }
+            )
+
+        files_df = spark.createDataFrame(
+            [(e.key_bloom or "", int(e.seq or 0)) for e in live],
+            "bloom string, fseq long",
+        ).repartition(min(max(len(live), 1), 64))
+        below = np.zeros(len(h), dtype=bool)
+        window = np.zeros(len(h), dtype=bool)
+        for r in files_df.mapInPandas(
+            _probe, "below binary, window binary"
+        ).collect():
+            below |= np.unpackbits(
+                np.frombuffer(r["below"], dtype=np.uint8), count=len(h)
+            ).astype(bool)
+            window |= np.unpackbits(
+                np.frombuffer(r["window"], dtype=np.uint8), count=len(h)
+            ).astype(bool)
+        bc.unpersist()
+
+        dead = ~below
+        lift = below & ~window
+        keep = below & window
+        result["dead_keys_dropped"] = int(dead.sum())
+        result["lifted_keys"] = int(lift.sum())
+        result["kept_keys"] = int(keep.sum())
+        if lift.any():
+            groups.append((top_seq, kp.loc[lift, ["doc_id"]]))
+        if keep.any():
+            for s, sub in kp.loc[keep].groupby("sk"):
+                groups.append((int(s), sub[["doc_id"]]))
+    else:
+        # subsumption-only: one group per surviving distinct seq
+        result["analysis"] = "subsumption-only"
+        result["kept_keys"] = n_keys
+        for row in keys.select("sk").distinct().collect():
+            s = int(row["sk"])
+            groups.append((s, keys.where(F.col("sk") == s).select("doc_id")))
+
+    new_entries: list[FileEntry] = []
+    for preset_seq, g in groups:
+        gdf = (
+            spark.createDataFrame(g, schema=key_schema)
+            if not hasattr(g, "sparkSession")
+            else g
+        )
+        entries = table.write_delete_files(gdf, max_rows_per_file)
+        for e in entries:
+            e.seq = preset_seq  # PRESET — commit must not bump it
+        new_entries.extend(entries)
+
+    out_rows = sum(e.rows for e in new_entries)
+    if len(new_entries) >= len(dels) and out_rows >= result["input_delete_rows"]:
+        result["skipped"] = 1  # no win — leave the backlog untouched
+        return result
+    result["output_delete_files"] = len(new_entries)
+    result["output_delete_rows"] = out_rows
+
+    record = {
+        "task_id": tid,
+        "output_files": [e.path for e in new_entries],
+        "counts": {
+            k: result[k]
+            for k in (
+                "input_delete_files",
+                "output_delete_files",
+                "input_delete_rows",
+                "output_delete_rows",
+                "dead_keys_dropped",
+                "lifted_keys",
+                "kept_keys",
+                "analysis",
+            )
+        },
+    }
+    log.mark_intent(tid, record)
+    table.commit(
+        "rewrite-deletes",
+        added=[],
+        added_deletes=new_entries,
+        removed_delete_paths=[d.path for d in dels],
+        summary_extra={"maint_job_id": job_id, "maint_task_id": tid},
+    )
+    log.mark_done(tid, record)
+    return result

@@ -105,3 +105,86 @@ def windowed_counts(
         .groupBy(*g)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+class IceMiniUpsertSink(IceMiniStreamSink):
+    """Streaming MERGE-ON-READ upsert sink — the Flink-on-Iceberg CDC
+    writer shape. Each micro-batch lands as ONE atomic commit of
+    (a) equality-delete files holding the batch's keys and (b) data
+    files holding the batch's rows: O(batch) bytes per epoch, no
+    discovery scan, no target rewrite — which is what makes a
+    continuous upsert stream against a 10^5-file table sustainable.
+    Matched older rows are suppressed at scan time by sequence number
+    (``IceMiniTable._read_with_deletes``); the next clustering rewrite
+    sheds them physically, and ``compact_delete_files`` consolidates
+    the delete backlog the stream accretes.
+
+    Exactly-once exactly as the append sink: the epoch id is committed
+    atomically inside the snapshot summary, so a replayed epoch whose
+    commit landed is skipped, and within a lifetime epochs are a set
+    lookup. Within-batch duplicate keys are collapsed to one arbitrary
+    winner (``dropDuplicates``) — upstream CDC streams should order or
+    pre-reduce per key if last-event-wins matters inside one batch;
+    ACROSS batches the later epoch's commit always wins (higher seq)."""
+
+    def __init__(
+        self,
+        table: IceMiniTable,
+        key: str = "doc_id",
+        target_file_rows: int | None = None,
+    ):
+        if key != "doc_id":
+            raise ValueError(
+                "merge-on-read upsert requires key='doc_id' (equality-"
+                "delete files and their scan-time anti-join are "
+                "doc_id-keyed)"
+            )
+        super().__init__(table, target_file_rows)
+        self.key = key
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if self._epochs is None:
+            self._epochs = self._committed_epochs()
+        if epoch_id in self._epochs:
+            return
+        df = self.table.align_to_schema(batch_df).dropDuplicates([self.key])
+        n = df.count()
+        if n == 0:
+            return
+        if self.target_file_rows:
+            df = df.repartition(max(1, -(-n // self.target_file_rows)))
+        df = df.persist()
+        try:
+            del_entries = self.table.write_delete_files(df.select(self.key))
+            data_entries = self.table.write_data_files(df)
+        finally:
+            df.unpersist()
+        self.table.commit(
+            "stream-upsert",
+            added=data_entries,
+            added_deletes=del_entries,
+            summary_extra={"epoch_id": epoch_id},
+        )
+        self._epochs.add(epoch_id)
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    table: IceMiniTable,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+    target_file_rows: int | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start (or run to completion with availableNow) a streaming
+    merge-on-read upsert into an IceMini table: every micro-batch
+    REPLACES existing rows sharing its keys and inserts the rest, in
+    one O(batch)-bytes commit. Returns the StreamingQuery."""
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(IceMiniUpsertSink(table, key, target_file_rows))
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

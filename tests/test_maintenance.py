@@ -1307,3 +1307,182 @@ def test_cow_merge_aborts_when_mor_delete_lands_mid_flight(
     assert fired["done"]
     expect = t.scan().where("NOT coalesce(n_tok % 3 = 0, false)").count()
     assert t.scan().count() == expect  # nothing resurrected
+
+
+# --------------------------------------------------- delete-file compaction
+
+
+def test_compact_delete_files_trickle_backlog(spark, tmp_path):
+    """Trickle MoR upserts build a delete backlog (one+ delete file per
+    commit); compact_delete_files consolidates it WITHOUT changing scan
+    content: hot keys collapse by subsumption (max seq wins), dead keys
+    (inserts' self-deletes whose older data was rewritten away) drop,
+    liftable keys merge into one top-seq group."""
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+
+    t = IceMiniTable.create(spark, str(tmp_path / "cdel"))
+    t.append(generate_sequences(spark, 4000), target_file_rows=250)
+
+    # five trickle upserts over overlapping (hot) key ranges + inserts
+    for rev in range(1, 6):
+        batch = generate_sequences(spark, 4000, rev=rev).where(
+            f"pmod(xxhash64(doc_id), 7) = {rev % 3}"
+        )
+        ins = generate_sequences(spark, 50, start_id=100_000 + rev * 1000)
+        merge_into(t, batch.unionByName(ins), mode="merge_on_read")
+
+    n_backlog = len(t.live_delete_entries())
+    assert n_backlog >= 5
+    h0 = _content_hash(t)
+    n0 = t.scan().count()
+
+    r = compact_delete_files(t)
+    assert r["skipped"] == 0 and r["analysis"] == "bloom"
+    assert r["output_delete_files"] < r["input_delete_files"] == n_backlog
+    # subsumption must shrink the key multiset (hot keys repeated 2-3x)
+    assert r["output_delete_rows"] < r["input_delete_rows"]
+    assert len(t.live_delete_entries()) == r["output_delete_files"]
+    assert _content_hash(t) == h0
+    assert t.scan().count() == n0
+
+    # idempotent: a second run finds nothing worth rewriting
+    r2 = compact_delete_files(t)
+    assert r2["skipped"] == 1 or r2["output_delete_files"] <= r["output_delete_files"]
+    assert _content_hash(t) == h0
+
+
+def test_compact_delete_files_lift_respects_reinsert(spark, tmp_path):
+    """A key deleted at seq S then RE-APPENDED at seq R > S must keep
+    its delete at S (lifting past R would kill the re-inserted row);
+    unrelated keys deleted later still lift/merge. Scan content is the
+    invariant."""
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "clift"))
+    t.append(generate_sequences(spark, 3000), target_file_rows=250)
+
+    delete_where(t, "n_tok % 5 = 0", mode="merge_on_read")  # seq S
+    # re-insert five deleted keys (seq R > S)
+    dead = [
+        row["doc_id"]
+        for row in spark.read.parquet(
+            *[t._abs(d.path) for d in t.live_delete_entries()]
+        ).limit(5).collect()
+    ]
+    t.append(generate_sequences(spark, 3000).where(F.col("doc_id").isin(dead)))
+    delete_where(t, "n_tok % 11 = 0", mode="merge_on_read")
+    delete_where(t, "n_tok % 7 = 0", mode="merge_on_read")  # seq T > R
+
+    h0 = _content_hash(t)
+    assert t.scan().where(F.col("doc_id").isin(dead)).count() == 5
+
+    r = compact_delete_files(t)
+    assert r["skipped"] == 0
+    assert _content_hash(t) == h0
+    # the re-inserted keys' deletes could NOT be lifted to T
+    assert r["kept_keys"] >= 5
+    assert t.scan().where(F.col("doc_id").isin(dead)).count() == 5
+
+
+def test_compact_delete_files_drops_dead_keys(spark, tmp_path):
+    """Delete keys whose applicable (older-seq) data was later rewritten
+    away are dead weight in the backlog — the Bloom probe proves no
+    older live file can contain them and the compaction drops them."""
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+    from datalakequality_spark.maintenance.merge import delete_where
+
+    t = IceMiniTable.create(spark, str(tmp_path / "cdead"))
+    rows = generate_sequences(spark, 3000)
+    # two appends with DISJOINT n_tok populations (disjoint doc_ids):
+    # the CoW delete below affects only the first append's files
+    t.append(rows.where("n_tok <= 200"), target_file_rows=250)
+    t.append(rows.where("n_tok > 200"), target_file_rows=250)
+    # MoR delete (backlog at seq S, keys from BOTH appends) ...
+    delete_where(t, "n_tok % 4 = 0", mode="merge_on_read")
+    n_mor_keys = sum(d.rows for d in t.live_delete_entries())
+    # ... then a CoW delete removing every low-n_tok row: the first
+    # append's files disappear, leaving their MoR keys DEAD in the
+    # backlog (the second append's older-seq files keep the backlog
+    # alive but provably lack the low-n_tok doc_ids — disjoint sets)
+    delete_where(t, "n_tok <= 200")
+    assert t.live_delete_entries(), "premise: backlog must survive"
+
+    h0 = _content_hash(t)
+    r = compact_delete_files(t, min_files=1)
+    assert r["dead_keys_dropped"] > 0
+    assert r["output_delete_rows"] <= n_mor_keys - r["dead_keys_dropped"] + 1
+    assert _content_hash(t) == h0
+
+
+def test_compact_delete_files_crash_resume(spark, tmp_path, monkeypatch):
+    """Crash between commit and ack: the same job_id resumes as a pure
+    ack without rewriting the backlog again."""
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+
+    t = IceMiniTable.create(spark, str(tmp_path / "cres"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    for rev in (1, 2, 3):
+        merge_into(
+            t,
+            generate_sequences(spark, 2000, rev=rev).where(
+                "pmod(xxhash64(doc_id), 5) = 0"
+            ),
+            mode="merge_on_read",
+        )
+    h0 = _content_hash(t)
+
+    real_mark_done = JobLog.mark_done
+
+    def dying(self, task_id, record):
+        raise RuntimeError("crash post-commit")
+
+    monkeypatch.setattr(JobLog, "mark_done", dying)
+    with pytest.raises(RuntimeError):
+        compact_delete_files(t, job_id="cd-res")
+    monkeypatch.setattr(JobLog, "mark_done", real_mark_done)
+
+    v = t.current_version()
+    n_files = len(t.live_delete_entries())
+    r = compact_delete_files(t, job_id="cd-res")
+    assert r["skipped"] == 1
+    assert t.current_version() == v  # ack only
+    assert len(t.live_delete_entries()) == n_files
+    assert _content_hash(t) == h0
+
+
+def test_compact_delete_files_subsumption_only_path(spark, tmp_path):
+    """Above max_analysis_keys the Bloom probe is skipped; the
+    distributed subsumption pass still collapses hot keys per seq and
+    preserves content."""
+    from datalakequality_spark.maintenance.compaction import (
+        compact_delete_files,
+    )
+
+    t = IceMiniTable.create(spark, str(tmp_path / "csub"))
+    t.append(generate_sequences(spark, 3000), target_file_rows=250)
+    for rev in (1, 2, 3):
+        merge_into(
+            t,
+            generate_sequences(spark, 3000, rev=rev).where(
+                "pmod(xxhash64(doc_id), 3) = 0"
+            ),
+            mode="merge_on_read",
+        )
+    h0 = _content_hash(t)
+    n_in = len(t.live_delete_entries())
+
+    r = compact_delete_files(t, max_analysis_keys=0)
+    assert r["analysis"] == "subsumption-only"
+    assert r["skipped"] == 0
+    assert r["output_delete_files"] < n_in
+    assert r["output_delete_rows"] < r["input_delete_rows"]  # hot keys collapsed
+    assert _content_hash(t) == h0

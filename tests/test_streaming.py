@@ -316,3 +316,113 @@ def test_streaming_sessionize_straggler_emits_own_session(spark, tmp_path):
     ]
     sids = {r["session_id"] for r in spark.read.parquet(out).collect()}
     assert len(sids) == 2
+
+
+def test_stream_upsert_merge_on_read(spark, tmp_path):
+    """Streaming MoR upsert: each micro-batch replaces matched keys and
+    inserts the rest in one O(batch) commit — no data file rewritten;
+    a checkpoint restart with a new file upserts only the new batch;
+    exactly one live row per key throughout."""
+    from datalakequality_spark.streaming.ingest import stream_upsert
+
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+    base_paths = t.live_paths()
+    src_dir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: 200 updates (rev=1 token arrays) + 100 inserts
+    upd = generate_sequences(spark, 1000, rev=1).where(
+        "pmod(xxhash64(doc_id), 5) = 0"
+    )
+    ins = generate_sequences(spark, 100, start_id=50_000)
+    upd.unionByName(ins).coalesce(1).write.mode("append").parquet(src_dir)
+
+    q = stream_upsert(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+
+    n_upd = upd.count()
+    assert t.scan().count() == 1100  # 1000 + 100 inserts
+    assert base_paths <= t.live_paths()  # zero rewrites — appends only
+    snaps = [s for s in t.snapshots() if s.operation == "stream-upsert"]
+    assert snaps and all("epoch_id" in s.summary for s in snaps)
+    # updated rows carry the rev=1 arrays
+    assert (
+        t.scan().join(upd, ["doc_id", "n_tok"], "left_semi").count() >= n_upd
+    )
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+
+    # restart from the checkpoint: a second file re-upserting SOME of
+    # the same keys (rev=2) — later epoch wins, still no duplicates
+    upd2 = generate_sequences(spark, 1000, rev=2).where(
+        "pmod(xxhash64(doc_id), 10) = 0"
+    )
+    upd2.coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = stream_upsert(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(120)
+    assert t.scan().count() == 1100
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+    assert (
+        t.scan().join(upd2, ["doc_id", "n_tok"], "left_semi").count()
+        >= upd2.count()
+    )
+
+    # batch equality vs a batch merge_into(mode="merge_on_read")
+    from datalakequality_spark.maintenance.merge import merge_into
+
+    t2 = IceMiniTable.create(spark, str(tmp_path / "ref"))
+    t2.append(generate_sequences(spark, 1000), target_file_rows=250)
+    merge_into(t2, upd.unionByName(ins), mode="merge_on_read")
+    merge_into(t2, upd2, mode="merge_on_read")
+    h = lambda tt: (
+        tt.scan()
+        .agg(
+            F.sum(
+                F.pmod(
+                    F.xxhash64("doc_id", "tokens", "n_tok", "source"),
+                    F.lit(2**31),
+                )
+            )
+        )
+        .collect()[0][0]
+    )
+    assert h(t) == h(t2)
+
+
+def test_stream_upsert_replayed_epoch_skipped(spark, tmp_path):
+    """An epoch whose commit landed before a crash is skipped on
+    replay — no duplicate delete/data files, same content."""
+    from datalakequality_spark.streaming.ingest import (
+        IceMiniUpsertSink,
+        stream_upsert,
+    )
+
+    t = IceMiniTable.create(spark, str(tmp_path / "tbl"))
+    t.append(generate_sequences(spark, 500), target_file_rows=250)
+    batch = generate_sequences(spark, 500, rev=1).where(
+        "pmod(xxhash64(doc_id), 4) = 0"
+    )
+
+    sink = IceMiniUpsertSink(t)
+    sink(batch, epoch_id=7)
+    v = t.current_version()
+    n_del = len(t.live_delete_entries())
+
+    # replay the same epoch through a FRESH sink (simulates restart):
+    # the committed epoch id is rediscovered from table metadata
+    sink2 = IceMiniUpsertSink(t)
+    sink2(batch, epoch_id=7)
+    assert t.current_version() == v
+    assert len(t.live_delete_entries()) == n_del
+    assert t.scan().groupBy("doc_id").count().where("count > 1").count() == 0
+
+    with pytest.raises(ValueError, match="doc_id"):
+        IceMiniUpsertSink(t, key="source")
