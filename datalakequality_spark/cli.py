@@ -20,6 +20,13 @@ submissions go through the thin launcher scripts/dlq_cli.py:
         --sources contaminated
     spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         rollback --table .../seqs --to-version 41
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        merge --table .../seqs --source .../cdc.parquet --mode merge_on_read
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        update --table .../seqs --where "source = 'weborig'" \\
+        --set "source='web'"
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        compact-deletes --table .../seqs
 
 (`python -m datalakequality_spark.cli ...` runs the same jobs in local
 mode; the bench and tests go through the same library entry points.)
@@ -107,8 +114,12 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     p.add_argument("--max-concurrent", type=int, default=4,
                    help="commit batches in flight at once; 1 = "
                         "strictly serial")
+    p.add_argument("--mode", default="copy_on_write",
+                   choices=("copy_on_write", "merge_on_read"),
+                   help="merge_on_read commits equality deletes + appends "
+                        "in ONE O(source)-bytes commit (no target rewrite)")
 
-    p = sub.add_parser("delete", help="copy-on-write DELETE FROM ... WHERE "
+    p = sub.add_parser("delete", help="DELETE FROM ... WHERE "
                        "(takedown/contamination removal)")
     _add_common(p)
     p.add_argument("--where", required=True, help="SQL predicate; matching "
@@ -118,6 +129,27 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     p.add_argument("--max-n-tok", type=int, default=None)
     p.add_argument("--sources", default=None,
                    help="comma-separated source pruning envelope")
+    p.add_argument("--mode", default="copy_on_write",
+                   choices=("copy_on_write", "merge_on_read"),
+                   help="merge_on_read writes O(matched-keys) equality-"
+                        "delete files instead of rewriting affected files")
+
+    p = sub.add_parser("update", help="copy-on-write UPDATE ... SET ... "
+                       "WHERE (predicate-addressed row edits)")
+    _add_common(p)
+    p.add_argument("--where", required=True, help="SQL predicate")
+    p.add_argument("--set", required=True, action="append", dest="sets",
+                   help="col=sql_expr assignment (repeatable)")
+    p.add_argument("--min-n-tok", type=int, default=None)
+    p.add_argument("--max-n-tok", type=int, default=None)
+    p.add_argument("--sources", default=None)
+
+    p = sub.add_parser("compact-deletes", help="consolidate the equality-"
+                       "delete backlog (subsumption + Bloom-probed dead-key "
+                       "drop and seq-lift; scan semantics unchanged)")
+    _add_common(p)
+    p.add_argument("--min-files", type=int, default=2,
+                   help="skip when the backlog is smaller than this")
 
     p = sub.add_parser("expire", help="snapshot expiration + reachability GC")
     _add_common(p)
@@ -178,6 +210,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             job_id=args.job_id,
             max_batch_files=args.max_batch_files,
             max_concurrent_batches=args.max_concurrent,
+            mode=args.mode,
         )
     elif args.cmd == "delete":
         from .maintenance.merge import delete_where
@@ -189,6 +222,31 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             min_n_tok=args.min_n_tok,
             max_n_tok=args.max_n_tok,
             sources=args.sources.split(",") if args.sources else None,
+            mode=args.mode,
+        )
+    elif args.cmd == "update":
+        from .maintenance.merge import update_where
+
+        assignments = {}
+        for a in args.sets:
+            col, _, expr = a.partition("=")
+            if not _:
+                raise SystemExit(f"--set expects col=sql_expr, got {a!r}")
+            assignments[col.strip()] = expr
+        out = update_where(
+            table,
+            args.where,
+            assignments,
+            job_id=args.job_id,
+            min_n_tok=args.min_n_tok,
+            max_n_tok=args.max_n_tok,
+            sources=args.sources.split(",") if args.sources else None,
+        )
+    elif args.cmd == "compact-deletes":
+        from .maintenance.compaction import compact_delete_files
+
+        out = compact_delete_files(
+            table, job_id=args.job_id, min_files=args.min_files
         )
     elif args.cmd == "expire":
         out = table.expire_snapshots(keep_last=args.keep_last)

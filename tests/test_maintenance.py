@@ -1486,3 +1486,47 @@ def test_compact_delete_files_subsumption_only_path(spark, tmp_path):
     assert r["output_delete_files"] < n_in
     assert r["output_delete_rows"] < r["input_delete_rows"]  # hot keys collapsed
     assert _content_hash(t) == h0
+
+
+def test_cli_mor_update_and_compact_deletes(spark, tmp_path, monkeypatch, capsys):
+    """Round-5 CLI surface: merge --mode merge_on_read, delete --mode
+    merge_on_read, update --set, compact-deletes — each prints one JSON
+    line and drives the same library entry points."""
+    import json as _json
+
+    from datalakequality_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    t = IceMiniTable.create(spark, str(tmp_path / "clidml"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+
+    src_path = str(tmp_path / "morsrc")
+    generate_merge_batch(spark, 2000, insert_rows=200).write.parquet(src_path)
+    out = cli.main(["merge", "--table", t.root, "--source", src_path,
+                    "--mode", "merge_on_read"])
+    assert out["mode"] == "merge_on_read" and out["rewritten_files"] == 0
+    assert t.scan().count() == 2200
+    capsys.readouterr()
+
+    out = cli.main(["delete", "--table", t.root,
+                    "--where", "n_tok % 9 = 0", "--mode", "merge_on_read"])
+    assert out["mode"] == "merge_on_read" and out["deleted_rows"] > 0
+    assert t.scan().where("n_tok % 9 = 0").count() == 0
+    capsys.readouterr()
+
+    backlog = len(t.live_delete_entries())
+    assert backlog >= 2  # merge + delete both landed equality deletes
+    n0 = t.scan().count()
+    out = cli.main(["compact-deletes", "--table", t.root, "--min-files", "1"])
+    assert _json.loads(capsys.readouterr().out.strip())["job_id"] == out["job_id"]
+    assert t.scan().count() == n0
+    assert out["skipped"] == 1 or (
+        out["output_delete_rows"] <= out["input_delete_rows"]
+    )
+
+    # CoW update last (it rewrites affected files, shedding the backlog)
+    out = cli.main(["update", "--table", t.root,
+                    "--where", "n_tok % 7 = 0",
+                    "--set", "source='retagged'"])
+    assert out["affected_files"] > 0 and out["rows"] > 0
+    assert t.scan().where("n_tok % 7 = 0 AND source != 'retagged'").count() == 0
