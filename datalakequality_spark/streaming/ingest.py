@@ -34,10 +34,33 @@ class IceMiniStreamSink:
     after that — per-batch cost is a set lookup, flat over the stream's
     lifetime instead of O(#snapshots) per micro-batch."""
 
-    def __init__(self, table: IceMiniTable, target_file_rows: int | None = None):
+    def __init__(
+        self,
+        table: IceMiniTable,
+        target_file_rows: int | None = None,
+        quality_gate: bool = False,
+        gate_thresholds: dict[str, Any] | None = None,
+    ):
         self.table = table
         self.target_file_rows = target_file_rows
+        self.quality_gate = quality_gate
+        self.gate_thresholds = gate_thresholds
         self._epochs: set[int] | None = None  # lazily built, then cached
+
+    def _gate(self, entries):
+        """Split one micro-batch's freshly written (uncommitted) files
+        through the per-file quality gate — the north-star "gates run
+        inside each pass" contract extended to ingest: a failing file
+        never becomes live, it is recorded in the commit's quarantine
+        metadata instead (same reader as compaction's gate_batch)."""
+        if not self.quality_gate or not entries:
+            return entries, []
+        from ..maintenance.compaction import gate_batch
+
+        clean_bins, quarantine = gate_batch(
+            self.table, [entries], self.gate_thresholds
+        )
+        return (clean_bins[0] if clean_bins else []), quarantine
 
     def _committed_epochs(self) -> set[int]:
         return {
@@ -63,8 +86,12 @@ class IceMiniStreamSink:
                 return
             df = df.repartition(max(1, -(-n // self.target_file_rows)))
         entries = self.table.write_data_files(df)
+        entries, quarantine = self._gate(entries)
         self.table.commit(
-            "stream-append", added=entries, summary_extra={"epoch_id": epoch_id}
+            "stream-append",
+            added=entries,
+            quarantine=quarantine,
+            summary_extra={"epoch_id": epoch_id},
         )
         self._epochs.add(epoch_id)
 
@@ -75,13 +102,21 @@ def stream_append(
     checkpoint_dir: str,
     target_file_rows: int | None = None,
     trigger_available_now: bool = True,
+    quality_gate: bool = False,
+    gate_thresholds: dict[str, Any] | None = None,
 ):
     """Start (or run to completion with availableNow) a stream writing
-    into an IceMini table. Returns the StreamingQuery."""
+    into an IceMini table. With ``quality_gate=True`` each micro-batch's
+    files pass the per-file gate; failures are quarantined, not
+    published. Returns the StreamingQuery."""
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(IceMiniStreamSink(table, target_file_rows))
+        .foreachBatch(
+            IceMiniStreamSink(
+                table, target_file_rows, quality_gate, gate_thresholds
+            )
+        )
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
@@ -132,6 +167,8 @@ class IceMiniUpsertSink(IceMiniStreamSink):
         table: IceMiniTable,
         key: str = "doc_id",
         target_file_rows: int | None = None,
+        quality_gate: bool = False,
+        gate_thresholds: dict[str, Any] | None = None,
     ):
         if key != "doc_id":
             raise ValueError(
@@ -139,7 +176,7 @@ class IceMiniUpsertSink(IceMiniStreamSink):
                 "delete files and their scan-time anti-join are "
                 "doc_id-keyed)"
             )
-        super().__init__(table, target_file_rows)
+        super().__init__(table, target_file_rows, quality_gate, gate_thresholds)
         self.key = key
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -155,14 +192,47 @@ class IceMiniUpsertSink(IceMiniStreamSink):
             df = df.repartition(max(1, -(-n // self.target_file_rows)))
         df = df.persist()
         try:
-            del_entries = self.table.write_delete_files(df.select(self.key))
             data_entries = self.table.write_data_files(df)
+            data_entries, quarantine = self._gate(data_entries)
+            # delete keys come from the CLEAN files only: quarantining a
+            # file while still deleting its keys' old rows would lose
+            # data (old row suppressed, replacement never published)
+            if quarantine:
+                clean_keys = (
+                    self.table.spark.read.schema(self.table.schema())
+                    .parquet(
+                        *[self.table._abs(e.path) for e in data_entries]
+                    )
+                    .select(self.key)
+                    if data_entries
+                    else None
+                )
+            else:
+                clean_keys = df.select(self.key)
+            del_entries = (
+                self.table.write_delete_files(clean_keys)
+                if clean_keys is not None
+                else []
+            )
         finally:
             df.unpersist()
+        if not data_entries and not del_entries:
+            if quarantine:
+                # publish the quarantine verdicts even when the whole
+                # batch failed the gate (operational visibility)
+                self.table.commit(
+                    "stream-upsert",
+                    added=[],
+                    quarantine=quarantine,
+                    summary_extra={"epoch_id": epoch_id},
+                )
+                self._epochs.add(epoch_id)
+            return
         self.table.commit(
             "stream-upsert",
             added=data_entries,
             added_deletes=del_entries,
+            quarantine=quarantine,
             summary_extra={"epoch_id": epoch_id},
         )
         self._epochs.add(epoch_id)
@@ -175,15 +245,23 @@ def stream_upsert(
     key: str = "doc_id",
     target_file_rows: int | None = None,
     trigger_available_now: bool = True,
+    quality_gate: bool = False,
+    gate_thresholds: dict[str, Any] | None = None,
 ):
     """Start (or run to completion with availableNow) a streaming
     merge-on-read upsert into an IceMini table: every micro-batch
     REPLACES existing rows sharing its keys and inserts the rest, in
-    one O(batch)-bytes commit. Returns the StreamingQuery."""
+    one O(batch)-bytes commit. With ``quality_gate=True`` failing files
+    are quarantined and their keys' old rows stay live. Returns the
+    StreamingQuery."""
     writer = (
         stream_df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(IceMiniUpsertSink(table, key, target_file_rows))
+        .foreachBatch(
+            IceMiniUpsertSink(
+                table, key, target_file_rows, quality_gate, gate_thresholds
+            )
+        )
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

@@ -426,3 +426,75 @@ def test_stream_upsert_replayed_epoch_skipped(spark, tmp_path):
 
     with pytest.raises(ValueError, match="doc_id"):
         IceMiniUpsertSink(t, key="source")
+
+
+def test_stream_gate_quarantines_bad_batch_files(spark, tmp_path):
+    """quality_gate=True on the streaming sinks: a micro-batch whose
+    rows carry PII-laden doc_ids never becomes live — the file is
+    quarantined in the epoch's commit; for the UPSERT sink the
+    quarantined keys' OLD rows stay live (the deletes are derived from
+    clean files only, so a poisoned replacement cannot take down the
+    row it failed to replace)."""
+    from datalakequality_spark.streaming.ingest import stream_append, stream_upsert
+
+    # ---- append sink
+    t = IceMiniTable.create(spark, str(tmp_path / "ga"))
+    src_dir, ckpt = str(tmp_path / "in_a"), str(tmp_path / "ck_a")
+    good = generate_sequences(spark, 500)
+    bad = generate_sequences(spark, 200, start_id=10**9).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("+leak@example.com"))
+    )
+    good.coalesce(1).write.mode("append").parquet(src_dir)
+    q = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+        quality_gate=True,
+    )
+    q.awaitTermination(120)
+    assert t.scan().count() == 500
+    # the poisoned batch arrives as its own epoch (checkpoint restart)
+    bad.coalesce(1).write.mode("append").parquet(src_dir)
+    q = stream_append(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src_dir),
+        t,
+        checkpoint_dir=ckpt,
+        quality_gate=True,
+    )
+    q.awaitTermination(120)
+    assert t.scan().count() == 500  # poisoned file never published
+    quars = [s for s in t.snapshots() if s.quarantine]
+    assert quars and "pii_ratio" in quars[-1].quarantine[0]["reasons"][0]
+
+    # ---- upsert sink: a poisoned REPLACEMENT leaves the old row live
+    t2 = IceMiniTable.create(spark, str(tmp_path / "gu"))
+    t2.append(generate_sequences(spark, 500), target_file_rows=250)
+    src2, ckpt2 = str(tmp_path / "in_u"), str(tmp_path / "ck_u")
+    poisoned_updates = (
+        generate_sequences(spark, 500, rev=1)
+        .where("pmod(xxhash64(doc_id), 5) = 0")
+        .withColumn("source", F.lit("evil+x@example.com"))
+        .withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("+x@example.com")))
+    )
+    poisoned_updates.coalesce(1).write.mode("append").parquet(src2)
+    q2 = stream_upsert(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src2),
+        t2,
+        checkpoint_dir=ckpt2,
+        quality_gate=True,
+    )
+    q2.awaitTermination(120)
+    # whole batch quarantined: no deletes written, all 500 originals live
+    assert t2.scan().count() == 500
+    assert len(t2.live_delete_entries()) == 0
+    quars2 = [s for s in t2.snapshots() if s.quarantine]
+    assert quars2  # verdicts published for operational visibility
+    # the quarantine epoch is NOT replayed on restart
+    q3 = stream_upsert(
+        spark.readStream.schema(SEQUENCES_SCHEMA).parquet(src2),
+        t2,
+        checkpoint_dir=ckpt2,
+        quality_gate=True,
+    )
+    q3.awaitTermination(120)
+    assert len([s for s in t2.snapshots() if s.quarantine]) == len(quars2)
