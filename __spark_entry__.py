@@ -968,6 +968,59 @@ def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iceberg-style CHANGELOG (CDC) scan in the correctness gate:
+    # append → merge-on-read MERGE → compaction → merge-on-read DELETE,
+    # then changelog_scan over the whole range must emit exactly the
+    # row-level diff — DELETE(old)+INSERT(new) for updated keys, INSERT
+    # for new keys, DELETE for deleted rows — while the compaction
+    # commit contributes NOTHING (content-preserving rewrites are
+    # skipped metadata-only; asserted). The oracle re-derives the same
+    # change set in plain SQL from the deterministic inputs; tok_sum
+    # certifies the emitted rows' token arrays.
+    from datalakequality_spark.maintenance.compaction import compact_table
+    from datalakequality_spark.maintenance.merge import delete_where, merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 4421) % 401 + 1, 71, F.col("source")
+    )
+    updates = _mk(
+        d.where(F.col("doc_id") % 5 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 4421) % 401 + 6,
+        73,
+        F.col("source"),
+    )
+    inserts = _mk(
+        d.where(F.col("doc_id") < 45),
+        F.col("doc_id") + 4_000_000,
+        F.col("doc_id") % 79 + 1,
+        79,
+        F.lit("new"),
+    )
+    root = _seq_table_tmpdir("dlq-cdc-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    v1 = t.current_version()
+    merge_into(t, updates.unionByName(inserts), mode="merge_on_read")
+    v2 = t.current_version()
+    compact_table(t, target_bytes=64 * 1024 * 1024)
+    v3 = t.current_version()
+    assert v3 > v2 and t.changelog_scan(v2, v3).count() == 0
+    delete_where(t, "n_tok % 8 = 0", mode="merge_on_read")
+    return t.changelog_scan(v1).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN through the REAL index path in the correctness gate: a
     # spherical-k-means codebook (trained on a bounded sample), the
@@ -1065,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_conditional": q_merge_conditional,
         "update_where": q_update_where,
         "incremental_scan": q_incremental_scan,
+        "changelog_scan": q_changelog_scan,
         "ivf_ann": q_ivf_ann,
         "media_features": q_media_features,
     }
@@ -1700,6 +1754,42 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM added
+        """,
+        "changelog_scan": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 4421) % 401 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 71 AS mult
+              FROM documents
+            ), src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 4421) % 401 + 6 AS n_tok, source,
+                     doc_id AS raw_id, 73 AS mult
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT CAST(doc_id + 4000000 AS VARCHAR),
+                     doc_id % 79 + 1, 'new', doc_id + 4000000, 79
+              FROM documents WHERE doc_id < 45
+            ), merged AS (
+              SELECT * FROM src
+              UNION ALL
+              SELECT * FROM tgt
+              WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            ), changes AS (
+              SELECT *, 'INSERT' AS change_type FROM src
+              UNION ALL
+              SELECT *, 'DELETE' AS change_type FROM tgt
+              WHERE doc_id IN (SELECT doc_id FROM src)
+              UNION ALL
+              SELECT *, 'DELETE' AS change_type FROM merged
+              WHERE n_tok % 8 = 0
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum,
+                   change_type
+            FROM changes
         """,
         "ivf_ann": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings

@@ -1058,6 +1058,152 @@ class IceMiniTable:
         paths = [self._abs(e.path) for e in new_entries]
         return self.spark.read.schema(sch).parquet(*paths)
 
+    # content-preserving physical ops: the live ROW SET is unchanged by
+    # construction (certified by the content-invariance tests), so the
+    # changelog skips them with ZERO I/O — a consumer never pays for
+    # compaction/clustering/delete-backlog maintenance. A gated rewrite
+    # that QUARANTINED files did remove rows and falls through to the
+    # generic diff.
+    _CONTENT_PRESERVING_OPS = frozenset(
+        {"compact", "cluster", "rewrite-sorted", "rewrite-deletes"}
+    )
+
+    def changelog_scan(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level CDC over snapshots (from_version, to_version] —
+        Iceberg's changelog scan (``create_changelog_view``): every row
+        that became visible is emitted as INSERT and every row that
+        stopped being visible as DELETE (an update = DELETE of the old
+        row + INSERT of the new one), tagged ``_change_type`` /
+        ``_commit_version``. Unlike ``incremental_scan`` this is total:
+        it handles MoR/CoW DML, rollbacks and gated rewrites, so a
+        downstream consumer can keep a derived store in sync reading
+        O(changed data), never O(table).
+
+        Per-commit cost model (the 100-TB contract):
+        - content-preserving rewrites (compaction, clustering,
+          delete-file compaction) → skipped metadata-only;
+        - appends → one scan of the added files, no diff;
+        - merge-on-read commits → added files scanned for INSERTs, and
+          DELETEs from a pruned semi-join: only data files whose
+          applicable-delete set changed are read at the parent version;
+        - everything else (CoW DML, rollback, quarantining rewrites) →
+          bag-diff (exceptAll) restricted to the touched files.
+
+        Rows are emitted in ``to_version``'s schema (columns added or
+        dropped mid-range are null-filled / dropped; the schema-change
+        commit itself emits nothing, matching Iceberg). Needs the
+        range's snapshots retained — expired parents raise.
+        """
+        to_version = (
+            to_version if to_version is not None else self.current_version()
+        )
+        if not 0 < from_version <= to_version:
+            raise ValueError(
+                f"invalid changelog range ({from_version}, {to_version}]"
+            )
+        final_sch = self.schema(to_version)
+
+        def _tag(df: DataFrame, kind: str, v: int) -> DataFrame:
+            cols = [
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in final_sch.fields
+            ]
+            return df.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(v).alias("_commit_version"),
+            )
+
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            snap = self.snapshot(v)
+            if (
+                snap.operation in self._CONTENT_PRESERVING_OPS
+                and not snap.quarantine
+            ):
+                continue
+            prev_entries = {e.path: e for e in self.live_entries(v - 1)}
+            cur_entries = {e.path: e for e in self.live_entries(v)}
+            added = [e for p, e in cur_entries.items() if p not in prev_entries]
+            removed = [
+                e for p, e in prev_entries.items() if p not in cur_entries
+            ]
+            prev_dels = self.live_delete_entries(v - 1)
+            cur_dels = self.live_delete_entries(v)
+            new_del_paths = {d.path for d in cur_dels} - {
+                d.path for d in prev_dels
+            }
+            # files live at BOTH versions whose visibility may have
+            # changed because their applicable-delete set changed
+            # (MoR delete/merge, rollback across a delete commit)
+            common_changed = [
+                e
+                for p, e in cur_entries.items()
+                if p in prev_entries
+                and applicable_delete_paths(e, prev_dels)
+                != applicable_delete_paths(e, cur_dels)
+            ]
+            if not added and not removed and not common_changed:
+                continue
+            if not removed and new_del_paths >= (
+                {d.path for d in cur_dels} ^ {d.path for d in prev_dels}
+            ):
+                # fast path — append / MoR delete / MoR merge: added
+                # files carry only new rows (no delete can apply to
+                # their seq yet), and the only visibility change on
+                # common files is the NEW delete keys → semi-join
+                # instead of a bag-diff
+                if added:
+                    parts.append(
+                        _tag(self._read_with_deletes(added, v), "INSERT", v)
+                    )
+                if common_changed and new_del_paths:
+                    from ..maintenance.merge import broadcast_threshold_bytes
+
+                    key_schema = T.StructType([self.schema(v)["doc_id"]])
+                    keys = self.spark.read.schema(key_schema).parquet(
+                        *[self._abs(p) for p in sorted(new_del_paths)]
+                    )
+                    by_path = {d.path: d for d in cur_dels}
+                    del_bytes = sum(
+                        by_path[p].size_bytes for p in new_del_paths
+                    )
+                    if 0 < del_bytes * 4 <= broadcast_threshold_bytes(
+                        self.spark
+                    ):
+                        keys = F.broadcast(keys)
+                    gone = self._read_with_deletes(common_changed, v - 1).join(
+                        keys, "doc_id", "semi"
+                    )
+                    parts.append(_tag(gone, "DELETE", v))
+                continue
+            before = self._read_with_deletes(removed + common_changed, v - 1)
+            after = self._read_with_deletes(added + common_changed, v)
+            if set(before.columns) != set(after.columns):
+                # schema changed mid-range: diff on the common columns
+                shared = [c for c in after.columns if c in set(before.columns)]
+                before, after = before.select(*shared), after.select(*shared)
+            parts.append(_tag(after.exceptAll(before), "INSERT", v))
+            parts.append(_tag(before.exceptAll(after), "DELETE", v))
+
+        meta = T.StructType(
+            list(final_sch.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+        if not parts:
+            return self.spark.createDataFrame([], meta)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def snapshots_df(self) -> DataFrame:
         """Iceberg's ``snapshots`` metadata table as a DataFrame: one
         row per retained snapshot (id, parent, operation, totals,
