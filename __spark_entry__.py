@@ -917,6 +917,45 @@ def q_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema-evolving MERGE in the correctness gate (Iceberg's
+    # merge-schema write option): the source batch carries a `quality`
+    # column the table lacks; merge_into(merge_schema=True) first
+    # evolves the schema (metadata-only set-schema commit), then the
+    # copy-on-write merge lands with the column populated — pre-existing
+    # rows read null. The oracle re-derives the merged state with the
+    # evolved column in plain SQL.
+    from datalakequality_spark.maintenance.merge import merge_into
+    from datalakequality_spark.sources.icemini import IceMiniTable
+
+    d = _t(spark, sf_dir, "documents")
+    target = _mk(
+        d, F.col("doc_id"), (F.col("doc_id") * 3793) % 383 + 1, 83, F.col("source")
+    )
+    src = _mk(
+        d.where(F.col("doc_id") % 6 == 0),
+        F.col("doc_id"),
+        (F.col("doc_id") * 3793) % 383 + 5,
+        89,
+        F.col("source"),
+    ).withColumn("quality", (F.col("n_tok") % 97).cast("double") / 100.0)
+    root = _seq_table_tmpdir("dlq-evolve-q-")
+    t = IceMiniTable.create(spark, root)
+    t.append(target, target_file_rows=max(1, d.count() // 8))
+    assert "quality" not in t.schema().fieldNames()
+    merge_into(t, src, merge_schema=True)
+    assert t.schema().fieldNames()[-1] == "quality"
+    return t.scan().select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "source",
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+        "quality",
+    )
+
+
 def q_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg-style incremental append read in the correctness gate:
     # append batch A, record the version, append batch B, then a
@@ -1117,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_deletes": q_compact_deletes,
         "merge_conditional": q_merge_conditional,
         "update_where": q_update_where,
+        "merge_evolve": q_merge_evolve,
         "incremental_scan": q_incremental_scan,
         "changelog_scan": q_changelog_scan,
         "ivf_ann": q_ivf_ann,
@@ -1754,6 +1794,31 @@ def oracle_sql() -> dict[str, str]:
                                   for i in generate_series(1, n_tok)])
                         AS BIGINT) AS tok_sum
             FROM added
+        """,
+        "merge_evolve": """
+            WITH tgt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 3793) % 383 + 1 AS n_tok, source,
+                     doc_id AS raw_id, 83 AS mult
+              FROM documents
+            ), src AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     (doc_id * 3793) % 383 + 5 AS n_tok, source,
+                     doc_id AS raw_id, 89 AS mult
+              FROM documents WHERE doc_id % 6 = 0
+            ), merged AS (
+              SELECT *, CAST(n_tok % 97 AS DOUBLE) / 100 AS quality
+              FROM src
+              UNION ALL
+              SELECT *, CAST(NULL AS DOUBLE) AS quality FROM tgt
+              WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, source,
+                   CAST(list_sum([(raw_id * mult + i) % 50257
+                                  for i in generate_series(1, n_tok)])
+                        AS BIGINT) AS tok_sum,
+                   quality
+            FROM merged
         """,
         "changelog_scan": """
             WITH tgt AS (

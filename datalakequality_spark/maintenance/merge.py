@@ -115,8 +115,15 @@ def merge_into(
     matched: list[dict[str, Any]] | None = None,
     not_matched_condition: str | None = None,
     mode: str = "copy_on_write",
+    merge_schema: bool = False,
 ) -> dict[str, Any]:
     """MERGE INTO with optional Iceberg-style conditional clauses.
+
+    ``merge_schema=True`` (Iceberg's merge-schema write option): source
+    columns the table lacks are first added to the table schema
+    (nullable, metadata-only) so the batch lands with them populated;
+    pre-existing rows read them as null. Default: unknown source
+    columns are dropped by schema alignment.
 
     Default (``matched=None``): ``WHEN MATCHED THEN UPDATE SET * WHEN
     NOT MATCHED THEN INSERT *`` — the replace-row fast path. With
@@ -141,6 +148,8 @@ def merge_into(
     (``IceMiniTable._read_with_deletes``); the next clustering rewrite
     sheds them physically. Restricted to the default replace-row
     clauses and ``key="doc_id"`` (see ``_merge_mor``)."""
+    if merge_schema:
+        table.evolve_to_include(source)
     if mode == "merge_on_read":
         if matched is not None or not_matched_condition is not None:
             raise ValueError(

@@ -336,6 +336,32 @@ class IceMiniTable:
                 return snap
             base = self.current_version()
 
+    def evolve_to_include(self, df: DataFrame) -> list[str]:
+        """Schema evolution from a producer's batch (Iceberg's
+        ``merge-schema`` write option): add every column ``df`` carries
+        that the table schema lacks, as a nullable column of the
+        source's type, and return the added names. Concurrent-writer
+        safe: if another writer adds one of the columns first, the
+        commit retries with the remainder instead of failing — the
+        batch still lands with its columns represented."""
+        added: list[str] = []
+        while True:
+            have = set(self.schema().fieldNames())
+            extra = {
+                f.name: f.dataType.simpleString()
+                for f in df.schema.fields
+                if f.name not in have
+            }
+            if not extra:
+                return added
+            try:
+                self.add_columns(extra)
+                return added + sorted(extra)
+            except ValueError as e:
+                if "already exist" not in str(e):
+                    raise
+                # a concurrent writer landed some of them — recompute
+
     def align_to_schema(self, df: DataFrame) -> DataFrame:
         """Project ``df`` onto the current schema for writing: evolved
         nullable columns missing from the input are null-filled (the
@@ -899,7 +925,14 @@ class IceMiniTable:
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
-    def append(self, df: DataFrame, target_file_rows: int | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        target_file_rows: int | None = None,
+        merge_schema: bool = False,
+    ) -> Snapshot:
+        if merge_schema:
+            self.evolve_to_include(df)
         df = self.align_to_schema(df)
         if target_file_rows:
             n = df.count()

@@ -40,11 +40,13 @@ class IceMiniStreamSink:
         target_file_rows: int | None = None,
         quality_gate: bool = False,
         gate_thresholds: dict[str, Any] | None = None,
+        merge_schema: bool = False,
     ):
         self.table = table
         self.target_file_rows = target_file_rows
         self.quality_gate = quality_gate
         self.gate_thresholds = gate_thresholds
+        self.merge_schema = merge_schema
         self._epochs: set[int] | None = None  # lazily built, then cached
 
     def _gate(self, entries):
@@ -78,7 +80,10 @@ class IceMiniStreamSink:
             return  # replayed epoch whose commit already landed
         # a stream started before an add-column evolution keeps working:
         # evolved nullable columns the stream doesn't carry are
-        # null-filled (and stale extra columns projected away)
+        # null-filled (and stale extra columns projected away —
+        # unless merge_schema, which evolves the table to carry them)
+        if self.merge_schema:
+            self.table.evolve_to_include(batch_df)
         df = self.table.align_to_schema(batch_df)
         if self.target_file_rows:
             n = df.count()

@@ -1530,3 +1530,51 @@ def test_cli_mor_update_and_compact_deletes(spark, tmp_path, monkeypatch, capsys
                     "--set", "source='retagged'"])
     assert out["affected_files"] > 0 and out["rows"] > 0
     assert t.scan().where("n_tok % 7 = 0 AND source != 'retagged'").count() == 0
+
+
+def test_merge_schema_evolves_from_source_batch(spark, tmp_path):
+    """Iceberg's merge-schema write option: a source batch carrying a
+    column the table lacks auto-evolves the schema on merge/append —
+    the batch lands with the column populated, pre-existing rows read
+    null. Default (merge_schema=False) keeps the drop-unknown-columns
+    alignment. Works through CoW merge, MoR merge, and append."""
+    t = IceMiniTable.create(spark, str(tmp_path / "ms"))
+    t.append(generate_sequences(spark, 1000), target_file_rows=250)
+
+    src = generate_sequences(spark, 200, start_id=500, rev=1).withColumn(
+        "quality", (F.col("n_tok") % 100).cast("double") / 100.0
+    )
+    # default: unknown column silently dropped, schema unchanged
+    merge_into(t, src.where("doc_id = '999999999'"))  # empty, no-op
+    assert "quality" not in t.schema().fieldNames()
+
+    merge_into(t, src, merge_schema=True)  # CoW, evolves
+    assert t.schema().fieldNames()[-1] == "quality"
+    got = t.scan().where(F.col("quality").isNotNull())
+    assert got.count() == 200
+    assert set(r.doc_id for r in got.select("doc_id").collect()) == set(
+        r.doc_id for r in src.select("doc_id").collect()
+    )
+
+    # MoR merge with a SECOND new column on top of the first
+    src2 = generate_sequences(spark, 100, start_id=0, rev=2).withColumn(
+        "lineage", F.lit("batch-2")
+    )
+    merge_into(t, src2, mode="merge_on_read", merge_schema=True)
+    assert t.schema().fieldNames()[-1] == "lineage"
+    assert t.scan().where("lineage = 'batch-2'").count() == 100
+    # rows merged before the second evolution read null lineage
+    assert (
+        t.scan().where(F.col("quality").isNotNull() & F.col("lineage").isNull()).count()
+        == 200
+    )
+
+    # append with merge_schema; already-present column is NOT re-added
+    t.append(
+        generate_sequences(spark, 50, start_id=10**6).withColumn(
+            "quality", F.lit(0.5)
+        ),
+        merge_schema=True,
+    )
+    assert t.scan().where("quality = 0.5").count() == 50
+    assert t.schema().fieldNames().count("quality") == 1
