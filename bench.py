@@ -52,6 +52,15 @@ manifest-pruned probe) instead of the in-memory IVF — slower than r3's
 number for that key because it measures strictly more real work. The
 cycle itself got 2.2-2.4x faster (concurrent shard/batch pool +
 single-commit merge at bench scale).
+
+r5: seven more table-backed queries joined the suite (delete_where_mor,
+merge_mor, compact_deletes, merge_conditional, minhash_incremental,
+changelog_scan, merge_evolve — each builds one or more real IceMini
+tables/stores, so their timings include table writes by design), and
+the write path now also emits per-file key-Bloom sidecars. Suite totals
+are therefore not comparable to r4; the cycle metric is (same job), and
+held at the r4 level (~9.7-10.8 s at sf0.1) with the extra machinery
+live.
 """
 
 from __future__ import annotations

@@ -27,6 +27,8 @@ submissions go through the thin launcher scripts/dlq_cli.py:
         --set "source='web'"
     spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
         compact-deletes --table .../seqs
+    spark-submit --py-files dlq.zip scripts/dlq_cli.py \\
+        changelog --table .../seqs --from-version 41 --out .../changes41
 
 (`python -m datalakequality_spark.cli ...` runs the same jobs in local
 mode; the bench and tests go through the same library entry points.)
@@ -118,6 +120,9 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
                    choices=("copy_on_write", "merge_on_read"),
                    help="merge_on_read commits equality deletes + appends "
                         "in ONE O(source)-bytes commit (no target rewrite)")
+    p.add_argument("--merge-schema", action="store_true",
+                   help="auto-add source columns the table lacks "
+                        "(Iceberg merge-schema)")
 
     p = sub.add_parser("delete", help="DELETE FROM ... WHERE "
                        "(takedown/contamination removal)")
@@ -160,6 +165,24 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     _add_common(p)
     p.add_argument("--to-version", type=int, required=True)
 
+    p = sub.add_parser("tag", help="create/drop/list snapshot tags "
+                       "(tagged snapshots survive expire)")
+    _add_common(p)
+    p.add_argument("--name", default=None, help="tag to create")
+    p.add_argument("--version", type=int, default=None,
+                   help="snapshot to tag (default: current)")
+    p.add_argument("--drop", default=None, help="tag to drop")
+
+    p = sub.add_parser("changelog", help="CDC read: write the row-level "
+                       "INSERT/DELETE diff over a snapshot range to parquet")
+    _add_common(p)
+    p.add_argument("--from-version", type=int, required=True,
+                   help="exclusive lower bound (1 = full history)")
+    p.add_argument("--to-version", type=int, default=None,
+                   help="inclusive upper bound (default: current)")
+    p.add_argument("--out", required=True,
+                   help="output parquet directory for the change rows")
+
     p = sub.add_parser("gate", help="quality gate only: report (not "
                        "quarantine) per-file contract/PII/outlier verdicts")
     _add_common(p)
@@ -201,7 +224,14 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     elif args.cmd == "merge":
         from .maintenance.merge import merge_into
 
-        source = spark.read.schema(table.schema()).parquet(args.source)
+        # --merge-schema must see the source's OWN columns (a fixed
+        # table-schema read would drop the new ones before evolution)
+        reader = (
+            spark.read
+            if args.merge_schema
+            else spark.read.schema(table.schema())
+        )
+        source = reader.parquet(args.source)
         out = merge_into(
             table,
             source,
@@ -211,6 +241,7 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             max_batch_files=args.max_batch_files,
             max_concurrent_batches=args.max_concurrent,
             mode=args.mode,
+            merge_schema=args.merge_schema,
         )
     elif args.cmd == "delete":
         from .maintenance.merge import delete_where
@@ -257,6 +288,25 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             "rolled_back_to": args.to_version,
             "total_rows": snap.summary.get("total_rows"),
             "total_files": snap.summary.get("total_files"),
+        }
+    elif args.cmd == "tag":
+        if args.drop:
+            table.drop_tag(args.drop)
+        elif args.name:
+            table.create_tag(args.name, args.version)
+        out = {"tags": table.tags()}
+    elif args.cmd == "changelog":
+        ch = table.changelog_scan(args.from_version, args.to_version)
+        ch.write.mode("overwrite").parquet(args.out)
+        written = spark.read.parquet(args.out)
+        out = {
+            "from_version": args.from_version,
+            "to_version": args.to_version
+            if args.to_version is not None
+            else table.current_version(),
+            "out": args.out,
+            "inserts": written.where("_change_type = 'INSERT'").count(),
+            "deletes": written.where("_change_type = 'DELETE'").count(),
         }
     elif args.cmd == "gate":
         from .maintenance.compaction import gate_batch

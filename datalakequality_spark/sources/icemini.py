@@ -1024,14 +1024,16 @@ class IceMiniTable:
 
     def scan(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         min_n_tok: int | None = None,
         max_n_tok: int | None = None,
         sources: list[str] | None = None,
     ) -> DataFrame:
         """Snapshot scan with manifest-level file pruning and
-        merge-on-read delete application. Residual predicates still
-        applied by the caller (pruning is conservative)."""
+        merge-on-read delete application. ``version`` may be a version
+        number or a tag name. Residual predicates still applied by the
+        caller (pruning is conservative)."""
+        version = self.version_of(version)
         entries = self.prune_entries(
             self.live_entries(version), min_n_tok, max_n_tok, sources
         )
@@ -1133,6 +1135,8 @@ class IceMiniTable:
             to_version if to_version is not None else self.current_version()
         )
         if not 0 < from_version <= to_version:
+            # v1 is the create snapshot, so from_version=1 is the full
+            # history; v0 has no metadata to diff against
             raise ValueError(
                 f"invalid changelog range ({from_version}, {to_version}]"
             )
@@ -1315,8 +1319,9 @@ class IceMiniTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
-    def rollback_to(self, version: int) -> Snapshot:
-        """Roll the table back to the state of snapshot ``version`` —
+    def rollback_to(self, version: int | str) -> Snapshot:
+        """Roll the table back to the state of snapshot ``version``
+        (a version number or a tag name) —
         Iceberg's ``rollback_to_snapshot``: a NEW snapshot whose live
         file set is the old one, so history is preserved (the bad
         merge/rewrite stays inspectable and time-travelable) and the
@@ -1326,6 +1331,7 @@ class IceMiniTable:
         The rolled-back-to files must still exist — snapshot expiration
         may have GC'd them — so the target must be a retained snapshot.
         """
+        version = self.version_of(version)
         current = self.current_version()
         if not 0 < version <= current:
             raise ValueError(f"cannot roll back to v{version} (current v{current})")
@@ -1372,6 +1378,55 @@ class IceMiniTable:
 
     # ------------------------------------------------------------------- GC
 
+    # ------------------------------------------------------------------ tags
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a snapshot with an immutable name (Iceberg tag refs): the
+        tagged version survives ``expire_snapshots`` until the tag is
+        dropped — a training run pins its exact input ("dataset-v3")
+        and stays reproducible through table maintenance. One file per
+        tag, O_CREAT|O_EXCL — same atomicity as the commit claim; tags
+        are immutable (drop and re-create to move one)."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = version if version is not None else self.current_version()
+        # must reference a retained snapshot
+        self.snapshot(v)
+        path = os.path.join(self.meta_dir, f"ref-{name}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump({"name": name, "version": v, "type": "tag"}, f)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in glob.glob(os.path.join(self.meta_dir, "ref-*.json")):
+            try:
+                d = json.load(open(p))
+                out[d["name"]] = d["version"]
+            except (OSError, ValueError, KeyError):
+                continue  # partially written ref from a crashed create
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        path = os.path.join(self.meta_dir, f"ref-{name}.json")
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r}") from None
+
+    def version_of(self, ref: int | str | None) -> int | None:
+        """Resolve a version-or-tag argument to a version number."""
+        if ref is None or isinstance(ref, int):
+            return ref
+        tags = self.tags()
+        if ref not in tags:
+            raise ValueError(f"no tag {ref!r}")
+        return tags[ref]
+
     def expire_snapshots(
         self, keep_last: int = 1, orphan_temp_age_s: float = 3600.0
     ) -> dict[str, Any]:
@@ -1386,6 +1441,7 @@ class IceMiniTable:
         open — its rename-to-final would fail and kill the job."""
         current = self.current_version()
         keep_versions = set(range(max(1, current - keep_last + 1), current + 1))
+        keep_versions.update(self.tags().values())  # tagged snapshots pinned
         retained_manifests: set[str] = set()
         retained_files: set[str] = set()
         for v in keep_versions:

@@ -170,10 +170,37 @@ def test_changelog_rollback_and_quarantined_rewrite(spark, tmp_path):
     assert _apply_changes(_bag(t.scan(v4)), ch) == _bag(t.scan(v5))
 
 
-def test_changelog_invalid_range(spark, tmp_path):
+def test_changelog_invalid_range_and_full_history(spark, tmp_path):
     t = IceMiniTable.create(spark, str(tmp_path / "t"))
     t.append(generate_sequences(spark, 100))
     with pytest.raises(ValueError, match="changelog range"):
         t.changelog_scan(0)
     with pytest.raises(ValueError, match="changelog range"):
         t.changelog_scan(5, 2)
+    # from_version=1 (the create snapshot) is the full history
+    ch = _changes(t, 1)
+    assert ch.count() == 100
+    assert ch.where("_change_type = 'INSERT'").count() == 100
+
+
+def test_cli_changelog_writes_change_parquet(spark, tmp_path, capsys):
+    import json
+
+    from datalakequality_spark import cli
+
+    t = IceMiniTable.create(spark, str(tmp_path / "t"))
+    t.append(generate_sequences(spark, 400), target_file_rows=200)
+    v1 = t.current_version()
+    delete_where(t, "n_tok % 3 = 0", mode="merge_on_read")
+    expected_deletes = 400 - t.scan().count()
+
+    out_dir = str(tmp_path / "changes")
+    out = cli.main(
+        ["changelog", "--table", t.root, "--from-version", str(v1),
+         "--out", out_dir]
+    )
+    assert json.loads(capsys.readouterr().out.strip())["deletes"] == out["deletes"]
+    assert out["inserts"] == 0 and out["deletes"] == expected_deletes
+    written = spark.read.parquet(out_dir)
+    assert written.count() == expected_deletes
+    assert set(written.columns) >= {"doc_id", "_change_type", "_commit_version"}

@@ -1367,12 +1367,18 @@ def test_compact_delete_files_lift_respects_reinsert(spark, tmp_path):
     t.append(generate_sequences(spark, 3000), target_file_rows=250)
 
     delete_where(t, "n_tok % 5 = 0", mode="merge_on_read")  # seq S
-    # re-insert five deleted keys (seq R > S)
+    # re-insert five deleted keys (seq R > S) — picked DETERMINISTICALLY
+    # (a bare limit() over the delete files varies with partition
+    # order) and disjoint from the LATER delete predicates, whose
+    # (seq T) deletes would legitimately kill a re-inserted row with
+    # n_tok % 7 == 0 or % 11 == 0
     dead = [
         row["doc_id"]
-        for row in spark.read.parquet(
-            *[t._abs(d.path) for d in t.live_delete_entries()]
-        ).limit(5).collect()
+        for row in generate_sequences(spark, 3000)
+        .where("n_tok % 5 = 0 AND n_tok % 7 != 0 AND n_tok % 11 != 0")
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
     ]
     t.append(generate_sequences(spark, 3000).where(F.col("doc_id").isin(dead)))
     delete_where(t, "n_tok % 11 = 0", mode="merge_on_read")
@@ -1578,3 +1584,47 @@ def test_merge_schema_evolves_from_source_batch(spark, tmp_path):
     )
     assert t.scan().where("quality = 0.5").count() == 50
     assert t.schema().fieldNames().count("quality") == 1
+
+
+def test_snapshot_tags_pin_through_expire(spark, tmp_path):
+    """Iceberg tag refs: a tagged snapshot (and its files) survives
+    expire_snapshots; dropping the tag releases it to GC; scan and
+    rollback accept the tag name; tags are immutable and atomic."""
+    t = IceMiniTable.create(spark, str(tmp_path / "tags"))
+    t.append(generate_sequences(spark, 500), target_file_rows=250)
+    v_tagged = t.current_version()
+    n_tagged = t.scan().count()
+    t.create_tag("dataset-v1")
+    assert t.tags() == {"dataset-v1": v_tagged}
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("dataset-v1", v_tagged)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.create_tag("bad/name")
+
+    # table moves on; expire would normally GC v_tagged
+    merge_into(t, generate_sequences(spark, 500, rev=1))
+    compact_table(t, target_bytes=8 * 1024 * 1024)
+    t.expire_snapshots(keep_last=1)
+    assert t.scan("dataset-v1").count() == n_tagged  # still readable
+    h_tagged = _content_hash_at(t, v_tagged)
+
+    # rollback by tag name
+    t.rollback_to("dataset-v1")
+    assert _content_hash_at(t, t.current_version()) == h_tagged
+
+    # drop releases the pin: the next expire GCs the old version
+    t.drop_tag("dataset-v1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.drop_tag("dataset-v1")
+    merge_into(t, generate_sequences(spark, 100, rev=2))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception):
+        t.scan(v_tagged).count()
+
+
+def _content_hash_at(t: IceMiniTable, v: int) -> int:
+    return (
+        t.scan(v)
+        .agg(F.sum(F.pmod(F.xxhash64("doc_id", "tokens", "n_tok", "source"), F.lit(2**31))))
+        .collect()[0][0]
+    )
