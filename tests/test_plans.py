@@ -200,3 +200,30 @@ def test_merge_joins_broadcast_despite_cached_source(spark, tmp_path):
         IceMiniTable.write_data_files = orig
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     assert "BroadcastHashJoin" not in captured[0]
+
+
+def test_changelog_mor_fast_path_plan(spark, tmp_path):
+    """Changelog over a merge-on-read DELETE commit must use the pruned
+    semi-join fast path — no ExceptAll bag-diff (that shuffles full
+    rows incl. token arrays) — while a CoW UPDATE commit's diff DOES
+    use the bag-diff, restricted to touched files."""
+    from datalakequality_spark.maintenance.merge import delete_where, update_where
+    from datalakequality_spark.sources.datagen import generate_sequences
+    from datalakequality_spark.sources.icemini import IceMiniTable
+    from pyspark.sql import functions as F
+
+    t = IceMiniTable.create(spark, str(tmp_path / "cdc"))
+    t.append(generate_sequences(spark, 2000), target_file_rows=250)
+    def _analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    v1 = t.current_version()
+    delete_where(t, "n_tok % 6 = 0", mode="merge_on_read")
+    v2 = t.current_version()
+    plan = _analyzed(t.changelog_scan(v1, v2))
+    assert "Except" not in plan
+    assert "LeftSemi" in _optimized(t.changelog_scan(v1, v2))
+
+    update_where(t, "n_tok % 13 = 0", {"source": F.lit("patched")})
+    v3 = t.current_version()
+    assert "Except" in _analyzed(t.changelog_scan(v2, v3))
