@@ -252,6 +252,25 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full grouping-sets surface (SURVEY §2.11): CUBE over
+    # (l_returnflag, l_linestatus) — all four grouping sets incl. the
+    # per-linestatus-only marginals ROLLUP lacks — subtotals tagged by
+    # grouping id; still one shuffle with map-side partial aggregation.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 # ----------------------------------------------- training-data pipeline ops
 
 
@@ -1133,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autofix_numeric": q_autofix_numeric,
         "contract_suggest": q_contract_suggest,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
         "dedup_exact_stats": q_dedup_exact_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
@@ -1434,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "cube_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "dedup_exact_stats": """
             WITH docs2 AS (SELECT text FROM documents
