@@ -1045,9 +1045,10 @@ class IceMiniTable:
         return self.scan(version).orderBy("doc_id")
 
     def incremental_scan(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int | str, to_version: int | str | None = None
     ) -> DataFrame:
-        """Rows ADDED in snapshots (from_version, to_version] — the
+        """Rows ADDED in snapshots (from_version, to_version] — both
+        bounds may be version numbers or tag names — the
         Iceberg incremental-append read a training pipeline uses to pick
         up new sequences without rescanning the table.
 
@@ -1061,8 +1062,11 @@ class IceMiniTable:
         (manifest set difference), then ONE pruned parquet scan of just
         those files.
         """
+        from_version = self.version_of(from_version)
         to_version = (
-            to_version if to_version is not None else self.current_version()
+            self.version_of(to_version)
+            if to_version is not None
+            else self.current_version()
         )
         if not 0 < from_version <= to_version:
             raise ValueError(
@@ -1104,7 +1108,7 @@ class IceMiniTable:
     )
 
     def changelog_scan(
-        self, from_version: int, to_version: int | None = None
+        self, from_version: int | str, to_version: int | str | None = None
     ) -> DataFrame:
         """Row-level CDC over snapshots (from_version, to_version] —
         Iceberg's changelog scan (``create_changelog_view``): every row
@@ -1131,8 +1135,11 @@ class IceMiniTable:
         commit itself emits nothing, matching Iceberg). Needs the
         range's snapshots retained — expired parents raise.
         """
+        from_version = self.version_of(from_version)
         to_version = (
-            to_version if to_version is not None else self.current_version()
+            self.version_of(to_version)
+            if to_version is not None
+            else self.current_version()
         )
         if not 0 < from_version <= to_version:
             # v1 is the create snapshot, so from_version=1 is the full

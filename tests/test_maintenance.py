@@ -1608,7 +1608,11 @@ def test_snapshot_tags_pin_through_expire(spark, tmp_path):
     assert t.scan("dataset-v1").count() == n_tagged  # still readable
     h_tagged = _content_hash_at(t, v_tagged)
 
-    # rollback by tag name
+    # rollback by tag name; changelog/incremental accept tags as bounds
+    assert (
+        t.changelog_scan("dataset-v1").count()
+        == t.changelog_scan(v_tagged).count()
+    )
     t.rollback_to("dataset-v1")
     assert _content_hash_at(t, t.current_version()) == h_tagged
 
